@@ -1,0 +1,147 @@
+"""Batching: fixed-shape numpy batches ready for device_put under a sharding.
+
+TPU-first re-design of the reference's torch DataLoader usage
+(joint_registration_strainmat_LMA.py:99-101) and its slice-grouping
+SliceDataLoader + custom_collate_fn (slice_dataloader.py:18-104):
+
+  * every batch has the SAME shape — the final partial batch is padded up to
+    ``batch_size`` and a ``sample_mask`` (1 real / 0 pad) rides along, so the
+    jitted train step compiles exactly once;
+  * string/metadata fields are collated into Python lists and kept host-side
+    (never shipped to device);
+  * `SliceBatcher` groups ALL items of a slice into one batch (pair-per-item
+    registration datasets), padding the pair axis to a static maximum — the
+    XLA-friendly analog of the reference's variable-length slice batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Sequence
+
+import numpy as np
+
+ARRAY_KEYS_ONLY = "__arrays__"
+
+
+def collate(items: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack array fields; keep non-arrays as lists (reference
+    slice_dataloader.py:18-45 collate semantics, minus torch)."""
+    batch: Dict[str, Any] = {}
+    keys = items[0].keys()
+    for k in keys:
+        v0 = items[0][k]
+        if isinstance(v0, np.ndarray):
+            batch[k] = np.stack([np.asarray(it[k]) for it in items], axis=0)
+        else:
+            batch[k] = [it[k] for it in items]
+    return batch
+
+
+def _pad_batch(batch: Dict[str, Any], n_real: int, batch_size: int) -> Dict[str, Any]:
+    if n_real == batch_size:
+        batch["sample_mask"] = np.ones((batch_size,), np.float32)
+        return batch
+    out: Dict[str, Any] = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            pad = np.repeat(v[-1:], batch_size - n_real, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+        else:
+            out[k] = list(v) + [v[-1]] * (batch_size - n_real)
+    out["sample_mask"] = np.concatenate(
+        [np.ones((n_real,), np.float32), np.zeros((batch_size - n_real,), np.float32)])
+    return out
+
+
+class Batcher:
+    """Shuffling, fixed-shape batch iterator over a dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, pad_final: bool = True, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.pad_final = pad_final
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = self._rng.permutation(n)
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            if len(idx) < bs and self.drop_last:
+                return
+            items = [self.dataset[int(i)] for i in idx]
+            batch = collate(items)
+            if self.pad_final:
+                batch = _pad_batch(batch, len(idx), bs)
+            else:
+                batch["sample_mask"] = np.ones((len(idx),), np.float32)
+            yield batch
+
+
+class SliceBatcher:
+    """Whole-slice batching for pairwise registration datasets.
+
+    Each dataset item is one (src, tar) frame pair; a *slice* owns a variable
+    number of pairs. The reference's SliceDataLoader flattens all pairs of the
+    batched slices into one ragged batch; here the pair axis is padded to
+    ``max_pairs_per_slice`` with a ``pair_mask``, giving the single static
+    shape (n_slices, max_pairs, ...) the jitted program requires.
+    """
+
+    def __init__(self, dataset, slices_per_batch: int, max_pairs_per_slice: int,
+                 shuffle: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.slices_per_batch = int(slices_per_batch)
+        self.max_pairs = int(max_pairs_per_slice)
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        ns = self.dataset.get_n_slices()
+        return (ns + self.slices_per_batch - 1) // self.slices_per_batch
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        ns = self.dataset.get_n_slices()
+        order = self._rng.permutation(ns) if self.shuffle else np.arange(ns)
+        for start in range(0, ns, self.slices_per_batch):
+            slice_ids = order[start:start + self.slices_per_batch]
+            n_real_slices = len(slice_ids)
+            # pad the slice axis by repeating the last slice
+            while len(slice_ids) < self.slices_per_batch:
+                slice_ids = np.concatenate([slice_ids, slice_ids[-1:]])
+            per_slice = [self.dataset.get_slice(int(s)) for s in slice_ids]
+            batch: Dict[str, Any] = {}
+            first = per_slice[0][0]
+            for k, v0 in first.items():
+                if isinstance(v0, np.ndarray):
+                    padded = []
+                    for items in per_slice:
+                        arrs = [np.asarray(it[k]) for it in items[: self.max_pairs]]
+                        while len(arrs) < self.max_pairs:
+                            arrs.append(np.zeros_like(arrs[-1]))
+                        padded.append(np.stack(arrs, axis=0))
+                    batch[k] = np.stack(padded, axis=0)   # (S, P, ...)
+                else:
+                    batch[k] = [[it[k] for it in items] for items in per_slice]
+            pair_mask = np.zeros((self.slices_per_batch, self.max_pairs), np.float32)
+            for si, items in enumerate(per_slice):
+                pair_mask[si, : min(len(items), self.max_pairs)] = 1.0
+            slice_mask = np.zeros((self.slices_per_batch,), np.float32)
+            slice_mask[:n_real_slices] = 1.0
+            batch["pair_mask"] = pair_mask
+            batch["sample_mask"] = slice_mask
+            yield batch
