@@ -1,0 +1,91 @@
+"""Config-driven multi-loss calculator.
+
+Capability parity with reference modules/loss/loss_calculator.py:55-126: each
+enabled loss conf names a criterion, the pred/target dict keys it reads, and a
+weight; the calculator returns ``(total, {name: value, 'total_loss': total})``.
+Pure and jittable — it runs INSIDE the compiled train step, so all losses fuse
+into the single fwd-bwd XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+import optax
+
+from cardiax.losses.registration import (
+    gradient_magnitude_loss,
+    registration_reconstruction_loss,
+)
+
+
+def _masked_batch_mean(per_sample: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    if mask is None:
+        return per_sample.mean()
+    w = mask.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def mse_loss(outputs: Dict[str, Any], targets: Dict[str, Any], conf: Dict[str, Any]) -> jnp.ndarray:
+    """Dict-keyed MSE (reference loss_calculator.py:55-66)."""
+    pred = outputs[conf["prediction"]]
+    tgt = targets[conf["target"]]
+    diff = (pred.astype(jnp.float32) - tgt.astype(jnp.float32)) ** 2
+    per_sample = diff.reshape(diff.shape[0], -1).mean(axis=1)
+    return _masked_batch_mean(per_sample, targets.get("sample_mask"))
+
+
+def cross_entropy_loss(outputs: Dict[str, Any], targets: Dict[str, Any],
+                       conf: Dict[str, Any]) -> jnp.ndarray:
+    """Dict-keyed CE over logits with class axis 1 (torch convention:
+    logits (B, C, ...) vs integer labels (B, ...), reference
+    loss_calculator.py:68-81)."""
+    logits = outputs[conf["prediction"]].astype(jnp.float32)
+    labels = targets[conf["target"]]
+    if labels.ndim == logits.ndim:        # one-hot labels -> integer
+        labels = jnp.argmax(labels, axis=1)
+    if labels.ndim >= 2 and labels.shape[-1] == 1:
+        labels = labels[..., 0]
+    logits_last = jnp.moveaxis(logits, 1, -1)      # class axis to last
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits_last, labels)
+    per_sample = ce.reshape(ce.shape[0], -1).mean(axis=1)
+    return _masked_batch_mean(per_sample, targets.get("sample_mask"))
+
+
+_CRITERIA: Dict[str, Callable] = {
+    "MSELoss": mse_loss,
+    "CrossEntropyLoss": cross_entropy_loss,
+    "registration_reconstruction": registration_reconstruction_loss,
+    "gradient_magnitude": gradient_magnitude_loss,
+}
+
+
+def get_loss_function(criterion: str) -> Callable:
+    """Registry lookup (reference loss_calculator.py:84-102)."""
+    if criterion not in _CRITERIA:
+        raise KeyError(f"Unknown loss criterion {criterion!r}; "
+                       f"known: {sorted(_CRITERIA)}")
+    return _CRITERIA[criterion]
+
+
+class LossCalculator:
+    """``LossCalculator(losses_confs)(outputs, targets) -> (total, values)``
+    (reference loss_calculator.py:104-126)."""
+
+    def __init__(self, losses_confs: Dict[str, Dict[str, Any]]):
+        self.confs = {name: conf for name, conf in (losses_confs or {}).items()
+                      if conf.get("enable", True)}
+        self._fns = {name: get_loss_function(conf.get("criterion", "MSELoss"))
+                     for name, conf in self.confs.items()}
+
+    def __call__(self, outputs: Dict[str, Any], targets: Dict[str, Any]
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        values: Dict[str, jnp.ndarray] = {}
+        total = jnp.asarray(0.0, jnp.float32)
+        for name, conf in self.confs.items():
+            val = self._fns[name](outputs, targets, conf)
+            values[name] = val
+            total = total + float(conf.get("weight", 1.0)) * val
+        values["total_loss"] = total
+        return total, values

@@ -1,0 +1,61 @@
+"""Evaluation metrics + cross-fold averaging.
+
+``tos_sector_error`` is the headline metric: mean absolute TOS error per
+sector, summed over samples and divided by N*126
+(reference joint_registration_strainmat_LMA.py:384-428, logged as
+``final-{dataset}/sector_error``).
+
+``get_average_performance_dict`` strips ``fold{i}/`` prefixes, means across
+folds, and re-prefixes ``average/`` (reference modules/loss/__init__.py:5-55).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def tos_sector_error(tos_pred: jnp.ndarray, tos_true: jnp.ndarray,
+                     sample_mask: jnp.ndarray | None = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (sum |TOS_pred - TOS_GT|, number of real sectors) so callers
+    can accumulate across batches and divide once."""
+    err = jnp.abs(tos_pred.astype(jnp.float32) - tos_true.astype(jnp.float32))
+    if sample_mask is not None:
+        w = sample_mask.astype(jnp.float32).reshape(-1, *([1] * (err.ndim - 1)))
+        err = err * w
+        n = jnp.sum(sample_mask) * err.shape[-1]
+    else:
+        n = jnp.asarray(err.size, jnp.float32)
+    return jnp.sum(err), n
+
+
+def classification_metrics(logits: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
+    """accuracy / precision / recall for the LMA classification tasks
+    (reference LMA_trainer.py:357-369). Class axis 1 (torch convention)."""
+    pred = np.argmax(logits, axis=1).reshape(-1)
+    true = np.asarray(labels).reshape(-1)
+    tp = float(np.sum((pred == 1) & (true == 1)))
+    fp = float(np.sum((pred == 1) & (true == 0)))
+    fn = float(np.sum((pred == 0) & (true == 1)))
+    acc = float(np.mean(pred == true))
+    precision = tp / (tp + fp) if tp + fp > 0 else 0.0
+    recall = tp / (tp + fn) if tp + fn > 0 else 0.0
+    return {"accuracy": acc, "precision": precision, "recall": recall}
+
+
+_FOLD_RE = re.compile(r"^fold\d+/")
+
+
+def get_average_performance_dict(performance_dicts: Sequence[Dict[str, float]]
+                                 ) -> Dict[str, float]:
+    """Cross-fold metric averaging (reference loss/__init__.py:5-55)."""
+    grouped: Dict[str, List[float]] = {}
+    for d in performance_dicts:
+        for key, val in d.items():
+            base = _FOLD_RE.sub("", key)
+            grouped.setdefault(base, []).append(float(val))
+    return {f"average/{k}": float(np.mean(v)) for k, v in grouped.items()}

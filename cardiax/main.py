@@ -1,0 +1,111 @@
+"""Experiment entry point: ``python -m cardiax.main --config-file cfg.json ...``
+
+Orchestration parity with reference main.py:1-107: parse args -> load/override
+config -> load_data -> split_data -> build_datasets -> build_model per network
+-> build_trainer -> train (unless inference_only) -> test on val + test ->
+save val_pred.npy / test_pred.npy. Device setup is replaced by mesh setup
+(all visible TPU chips; override with --mesh-shape).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+
+
+def run(config: Dict[str, Any]) -> Dict[str, Any]:
+    import jax
+    from cardiax.data import load_data
+    from cardiax.data.datasets import build_datasets
+    from cardiax.data.split import split_data
+    from cardiax.io.export import save_predictions, save_trained_models
+    from cardiax.models import build_model
+    from cardiax.parallel.mesh import get_mesh
+    from cardiax.train import build_trainer
+
+    # 1. data
+    all_data = load_data(config["data"], config)
+    data_splits = split_data(all_data, config["data_split"])
+    for split_name, split in data_splits.items():
+        subjects = {d["subject_id"] for d in split["data"]}
+        print(f"split {split_name}: {len(split['data'])} slices "
+              f"from {len(subjects)} patients")
+
+    # 2. datasets
+    datasets = build_datasets(config["datasets"], data_splits, config)
+    for name, ds in datasets.items():
+        print(f"dataset {name}: {len(ds)}")
+
+    # 3. models
+    networks = {name: build_model(mc) for name, mc in config["networks"].items()}
+
+    # 4. mesh + trainer
+    mesh_shape = config.get("parallel", {}).get("mesh_shape")
+    if isinstance(mesh_shape, str):
+        mesh_shape = tuple(int(x) for x in mesh_shape.split(",") if x)
+    mesh = get_mesh(mesh_shape)
+    print(f"mesh: {mesh.shape} over {len(jax.devices())} devices "
+          f"({jax.devices()[0].platform})")
+    trainer = build_trainer(config["training"], None, config, mesh=mesh)
+
+    # 5. train
+    inference_only = config["training"].get("inference_only", False)
+    tracker = None
+    if not inference_only:
+        trained_models, tracker = trainer.train(
+            models=networks, datasets=datasets,
+            trainer_config=config["training"], full_config=config,
+            use_wandb=config.get("others", {}).get("use_wandb", False))
+    else:
+        trained_models = {f"{k}_model": v for k, v in networks.items()}
+
+    # 6. inference
+    results: Dict[str, Any] = {"models": trained_models}
+    saving = config.get("saving", {})
+    saving_dir = Path(saving.get("saving_dir", "./test_results"))
+    for target in ("val", "test"):
+        if target not in datasets or len(datasets[target]) == 0:
+            continue
+        preds, perf, tracker = trainer.test(
+            models=trained_models, datasets=datasets,
+            trainer_config=config["training"], full_config=config,
+            target_dataset=target, tracker=tracker)
+        print(json.dumps(perf, indent=2, default=float))
+        results[f"{target}_performance"] = perf
+        if saving.get("save_prediction", True):
+            fname = saving.get(f"{target}_save_filename", f"{target}_pred.npy")
+            save_predictions(preds, saving_dir / fname)
+            results[f"{target}_pred_path"] = str(saving_dir / fname)
+
+    # 7. save models
+    if saving.get("save_final_model", False):
+        bundles = {k[:-6]: v for k, v in trained_models.items()
+                   if k.endswith("_model")}
+        perf_all = {k: v for t in ("val", "test")
+                    for k, v in results.get(f"{t}_performance", {}).items()}
+        save_trained_models(saving_dir, bundles, config, perf_all)
+    if tracker is not None:
+        tracker.finish()
+    return results
+
+
+def main(argv=None):
+    from cardiax.config import (get_args, load_config_from_json,
+                                update_config_by_args,
+                                update_config_by_undefined_args)
+    args, undefined = get_args(argv)
+    config = load_config_from_json(args.config_file)
+    config = update_config_by_args(config, args)
+    config = update_config_by_undefined_args(config, undefined)
+    if config.get("others", {}).get("print_config", False):
+        print(json.dumps(config, indent=2))
+    seed = config.get("training", {}).get("seed", 2434)
+    np.random.seed(seed)
+    return run(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,368 @@
+"""Trainer engine: ONE compiled train step per scheme, shared epoch machinery.
+
+The reference duplicates its epoch loop / optimizer builder / early stopping /
+eval in six trainer files (SURVEY.md section 2.9); here one engine owns them
+and each *scheme* (reg, LMA, strainmat_pred, strainmat_LMA, joint_*) is a thin
+adapter defining just the per-batch forward contract.
+
+TPU-first design:
+  * the whole fwd + loss + bwd + optimizer update is a single ``jax.jit``
+    program (donated params/opt-state, no host sync inside the epoch);
+  * batches are sharded over the mesh ``data`` axis; params replicated; XLA
+    GSPMD inserts the gradient psum over ICI;
+  * static shapes guaranteed by the Batcher (padded final batch + sample_mask),
+    so each scheme compiles exactly twice (train step + eval step);
+  * optimizers: optax adamw/sgd + cosine-annealing schedule, one per model
+    (reference builds torch Adam/SGD + CosineAnnealingLR per model,
+    joint_registration_strainmat_LMA.py:55-70, 20-44).
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cardiax.data.loader import Batcher
+from cardiax.io.metrics import MetricsTracker
+from cardiax.losses.calculator import LossCalculator
+from cardiax.losses.metrics import classification_metrics, tos_sector_error
+from cardiax.parallel.mesh import get_mesh, replicate, shard_batch
+
+
+# --------------------------------------------------------------------------- #
+# Optimizers                                                                   #
+# --------------------------------------------------------------------------- #
+
+def build_optimizer(opt_conf: Dict[str, Any], steps_per_epoch: int,
+                    total_epochs: int) -> optax.GradientTransformation:
+    """Adam/SGD + optional cosine-annealing LR schedule
+    (reference: build_optimizer + get_lr_scheduler, duplicated per trainer)."""
+    lr = float(opt_conf.get("learning_rate", 1e-4))
+    wd = float(opt_conf.get("weight_decay", 0.0))
+    sched_conf = opt_conf.get("lr_scheduler", {}) or {}
+    if sched_conf.get("enable", False) and sched_conf.get("type") == "CosineAnnealingLR":
+        t_max_epochs = int(sched_conf.get("T_max", 30))
+        eta_min = float(sched_conf.get("eta_min", 0.0))
+        decay_steps = max(1, t_max_epochs * max(1, steps_per_epoch))
+        schedule: Any = optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=decay_steps, alpha=eta_min / lr if lr else 0.0)
+    else:
+        schedule = lr
+    kind = opt_conf.get("type", "Adam").lower()
+    if kind == "adam":
+        return optax.adamw(schedule, weight_decay=wd) if wd else optax.adam(schedule)
+    if kind == "sgd":
+        mom = float(opt_conf.get("momentum", 0.0))
+        tx = optax.sgd(schedule, momentum=mom or None)
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        return tx
+    raise ValueError(f"Unknown optimizer type {opt_conf.get('type')!r}")
+
+
+# --------------------------------------------------------------------------- #
+# Scheme protocol                                                              #
+# --------------------------------------------------------------------------- #
+
+class Scheme:
+    """Per-batch contract of one training scheme.
+
+    Subclasses define ``model_keys`` and a pure ``forward`` that maps
+    (modules, params, device-batch) -> (pred_dict, target_dict). Everything
+    else — jit, optimizers, epochs, early stopping, eval — is the engine's.
+    """
+
+    name: str = "base"
+    model_keys: Tuple[str, ...] = ()
+
+    def __init__(self, trainer_config: Dict[str, Any], full_config: Dict[str, Any]):
+        self.trainer_config = trainer_config or {}
+        self.full_config = full_config or {}
+
+    # ---- host side -------------------------------------------------------- #
+    def example_inputs(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        """Arrays needed to init params (defaults to all array fields)."""
+        return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+    def init_params(self, modules: Dict[str, Any], rng: jax.Array,
+                    batch: Dict[str, Any]) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    # ---- device side (pure, jitted by the engine) -------------------------- #
+    def forward(self, modules: Dict[str, Any], params: Dict[str, Any],
+                arrays: Dict[str, jnp.ndarray], train: bool
+                ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        raise NotImplementedError
+
+    # ---- metrics ----------------------------------------------------------- #
+    def performance(self, preds: List[Dict[str, Any]], dataset_name: str) -> Dict[str, float]:
+        """Default: TOS sector error + classification metrics when present
+        (reference joint_registration_strainmat_LMA.py:384-428)."""
+        perf: Dict[str, float] = {}
+        err_sum, n_sec = 0.0, 0.0
+        logits_all, labels_all = [], []
+        for p in preds:
+            if "TOS_pred" in p and "TOS" in p:
+                err_sum += float(np.abs(np.asarray(p["TOS_pred"]) - np.asarray(p["TOS"])).sum())
+                n_sec += np.asarray(p["TOS"]).size
+            if "sector_LMA_labels_pred" in p and "sector_LMA_labels" in p:
+                logits_all.append(np.asarray(p["sector_LMA_labels_pred"]))
+                labels_all.append(np.asarray(p["sector_LMA_labels"]))
+            elif "slice_LMA_label_pred" in p and "slice_LMA_label" in p:
+                logits_all.append(np.asarray(p["slice_LMA_label_pred"])[..., None])
+                labels_all.append(np.asarray(p["slice_LMA_label"]))
+        if n_sec > 0:
+            perf[f"final-{dataset_name}/sector_error"] = err_sum / n_sec
+        if logits_all:
+            cm = classification_metrics(np.stack(logits_all), np.stack(labels_all))
+            for k, v in cm.items():
+                perf[f"final-{dataset_name}/{k}"] = v
+        return perf
+
+
+# --------------------------------------------------------------------------- #
+# Engine                                                                       #
+# --------------------------------------------------------------------------- #
+
+class TrainerEngine:
+    def __init__(self, scheme: Scheme, trainer_config: Dict[str, Any],
+                 full_config: Dict[str, Any], mesh=None):
+        self.scheme = scheme
+        self.trainer_config = trainer_config or {}
+        self.full_config = full_config or {}
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.loss_calc = LossCalculator(self.full_config.get("losses", {}))
+        self.metric_prefix = self.trainer_config.get("metric_prefix", "")
+        self._train_step = None
+        self._eval_step = None
+        self.params: Optional[Dict[str, Any]] = None
+        self.opt_states: Optional[Dict[str, Any]] = None
+        self._txs: Optional[Dict[str, optax.GradientTransformation]] = None
+        self.modules: Dict[str, Any] = {}
+        self.bundles: Dict[str, Any] = {}
+
+    # ---- compiled steps ---------------------------------------------------- #
+    def _make_steps(self):
+        scheme, loss_calc, txs = self.scheme, self.loss_calc, self._txs
+        modules = self.modules
+
+        def loss_fn(params, arrays, train):
+            preds, targets = scheme.forward(modules, params, arrays, train)
+            total, values = loss_calc(preds, targets)
+            return total, (values, preds)
+
+        def train_step(params, opt_states, arrays):
+            (_, (values, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, arrays, True)
+            new_params, new_states = {}, {}
+            for name in params:
+                if name in txs:
+                    upd, st = txs[name].update(grads[name], opt_states[name], params[name])
+                    new_params[name] = optax.apply_updates(params[name], upd)
+                    new_states[name] = st
+                else:  # no optimizer configured for this model -> frozen
+                    new_params[name] = params[name]
+                    new_states[name] = opt_states.get(name)
+            return new_params, new_states, values
+
+        def eval_step(params, arrays):
+            _, (values, preds) = loss_fn(params, arrays, False)
+            return values, preds
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+    # ---- setup -------------------------------------------------------------- #
+    def setup(self, models: Dict[str, Any], example_batch: Dict[str, Any],
+              steps_per_epoch: int, seed: int = 2434):
+        self.bundles = models
+        self.modules = {k: m.module for k, m in models.items()}
+        rng = jax.random.PRNGKey(seed)
+        if self.params is None:
+            existing = {k: m.params for k, m in models.items() if m.params is not None}
+            if len(existing) == len(models):
+                self.params = existing
+            else:
+                self.params = self.scheme.init_params(self.modules, rng, example_batch)
+                for k, m in models.items():
+                    m.params = self.params[k]
+        total_epochs = int(self.trainer_config.get("epochs", 1))
+        opt_confs = self.trainer_config.get("optimizers", {})
+        self._txs = {}
+        self.opt_states = {}
+        for name in self.params:
+            conf = opt_confs.get(name)
+            if conf is None:
+                continue
+            tx = build_optimizer(conf, steps_per_epoch, total_epochs)
+            self._txs[name] = tx
+            self.opt_states[name] = tx.init(self.params[name])
+        self.params = replicate(self.params, self.mesh)
+        self.opt_states = replicate(self.opt_states, self.mesh)
+        self._make_steps()
+
+    # ---- training loop ------------------------------------------------------ #
+    def train(self, models: Dict[str, Any], datasets: Dict[str, Any],
+              trainer_config: Dict[str, Any] | None = None,
+              full_config: Dict[str, Any] | None = None, device=None,
+              use_tensorboard: bool = False, tensorboard_log_dir: str = "tensorboard",
+              use_wandb: bool = False, enable_wandb_upload: bool = True,
+              tracker: Optional[MetricsTracker] = None,
+              ) -> Tuple[Dict[str, Any], Optional[MetricsTracker]]:
+        cfg = trainer_config or self.trainer_config
+        epochs = int(cfg.get("epochs", 1))
+        batch_size = int(cfg.get("batch_size", 10))
+        seed = int(cfg.get("seed", 2434))
+        tolerance = int(cfg.get("epochs_without_improvement_tolerance", 50))
+        test_as_val = bool(cfg.get("test_as_val", False))
+
+        train_ds = datasets["train"]
+        val_name = "test" if test_as_val and "test" in datasets else "val"
+        val_ds = datasets.get(val_name)
+
+        train_loader = Batcher(train_ds, batch_size, shuffle=True, seed=seed)
+        val_loader = Batcher(val_ds, batch_size, shuffle=False) if val_ds is not None \
+            and len(val_ds) > 0 else None
+
+        if tracker is None:
+            tracker = MetricsTracker(
+                use_wandb=use_wandb, use_tensorboard=use_tensorboard,
+                log_dir=self.full_config.get("saving", {}).get("saving_dir"),
+                run_name=self.full_config.get("info", {}).get("experiment_name", "cardiax"))
+
+        first_batch = next(iter(train_loader))
+        self.setup(models, first_batch, steps_per_epoch=len(train_loader), seed=seed)
+
+        best_val = float("inf")
+        # params are DONATED to the compiled train step, so best-params
+        # snapshots must be real copies, not aliases of soon-invalidated buffers
+        best_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        best_epoch = -1
+        epochs_without_improvement = 0
+        prefix = self.metric_prefix
+        best_epoch_metrics: Dict[str, float] = {}
+        t_start = time.perf_counter()
+
+        for epoch in range(epochs):
+            # ---- train ----
+            accum: Dict[str, float] = {}
+            n_batches = 0
+            for batch in train_loader:
+                arrays = shard_batch(batch, self.mesh)
+                arrays = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
+                self.params, self.opt_states, values = self._train_step(
+                    self.params, self.opt_states, arrays)
+                n_batches += 1
+                for k, v in values.items():
+                    accum[k] = accum.get(k, 0.0) + float(v)
+            epoch_metrics = {f"{prefix}train/{k}": v / max(1, n_batches)
+                             for k, v in accum.items()}
+
+            # ---- val ----
+            epoch_total_val = None
+            if val_loader is not None:
+                vaccum: Dict[str, float] = {}
+                nv = 0
+                for batch in val_loader:
+                    arrays = shard_batch(batch, self.mesh)
+                    arrays = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
+                    values, _ = self._eval_step(self.params, arrays)
+                    nv += 1
+                    for k, v in values.items():
+                        vaccum[k] = vaccum.get(k, 0.0) + float(v)
+                for k, v in vaccum.items():
+                    epoch_metrics[f"{prefix}val/{k}"] = v / max(1, nv)
+                epoch_total_val = epoch_metrics.get(f"{prefix}val/total_loss")
+
+            tracker.log(epoch_metrics, step=epoch)
+
+            # ---- early stopping on total val loss (reference :238-263) ----
+            monitor = epoch_total_val if epoch_total_val is not None \
+                else epoch_metrics.get(f"{prefix}train/total_loss", float("inf"))
+            if monitor < best_val:
+                best_val = monitor
+                best_params = jax.tree_util.tree_map(jnp.copy, self.params)
+                best_epoch = epoch
+                best_epoch_metrics = dict(epoch_metrics)
+                epochs_without_improvement = 0
+            else:
+                epochs_without_improvement += 1
+                if epochs_without_improvement > tolerance:
+                    break
+
+        if best_epoch_metrics:
+            tracker.log_best(best_epoch_metrics, step=best_epoch)
+        elapsed = time.perf_counter() - t_start
+
+        self.params = best_params
+        for name, bundle in models.items():
+            bundle.params = best_params[name]
+
+        exp_dict: Dict[str, Any] = {f"{name}_model": bundle
+                                    for name, bundle in models.items()}
+        exp_dict["best_epoch"] = best_epoch
+        exp_dict["best_val_loss"] = best_val
+        exp_dict["train_seconds"] = elapsed
+        return exp_dict, tracker
+
+    # ---- inference ----------------------------------------------------------- #
+    def test(self, models: Dict[str, Any], datasets: Dict[str, Any],
+             trainer_config: Dict[str, Any] | None = None,
+             full_config: Dict[str, Any] | None = None, device=None,
+             wandb_experiment=None, target_dataset: str = "test",
+             tracker: Optional[MetricsTracker] = None,
+             ) -> Tuple[List[Dict[str, Any]], Dict[str, float], Optional[MetricsTracker]]:
+        cfg = trainer_config or self.trainer_config
+        batch_size = int(cfg.get("batch_size", 10))
+        # accept either raw bundle dicts or the exp_dict returned by train()
+        bundles = {}
+        for k, v in models.items():
+            if k.endswith("_model"):
+                bundles[k[: -len("_model")]] = v
+            elif hasattr(v, "module"):
+                bundles[k] = v
+        ds = datasets[target_dataset]
+        loader = Batcher(ds, batch_size, shuffle=False)
+        if self._eval_step is None or self.params is None:
+            first = next(iter(loader))
+            self.setup(bundles, first, steps_per_epoch=max(1, len(loader)),
+                       seed=int(cfg.get("seed", 2434)))
+
+        preds: List[Dict[str, Any]] = []
+        loss_accum: Dict[str, float] = {}
+        nb = 0
+        for batch in loader:
+            arrays = shard_batch(batch, self.mesh)
+            dev = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
+            values, pred = self._eval_step(self.params, dev)
+            nb += 1
+            for k, v in values.items():
+                loss_accum[k] = loss_accum.get(k, 0.0) + float(v)
+            pred_np = jax.tree_util.tree_map(np.asarray, pred)
+            mask = np.asarray(batch["sample_mask"])
+            bsz = int(mask.shape[0])
+            for i in range(bsz):
+                if mask[i] == 0:
+                    continue
+                sample: Dict[str, Any] = {}
+                for k, v in batch.items():
+                    if k == "sample_mask":
+                        continue
+                    sample[k] = v[i] if isinstance(v, np.ndarray) else v[i]
+                for k, v in pred_np.items():
+                    if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == bsz:
+                        sample[f"{k}_pred"] = v[i]
+                preds.append(sample)
+
+        perf = self.scheme.performance(preds, target_dataset)
+        for k, v in loss_accum.items():
+            perf[f"final-{target_dataset}/loss_{k}"] = v / max(1, nb)
+        if tracker is not None:
+            tracker.log(perf)
+        return preds, perf, tracker
