@@ -1,0 +1,218 @@
+"""Reference-semantics PyTorch baseline for bench.py (CPU-only container).
+
+The reference repo publishes NO throughput numbers (BASELINE.md), so the
+baseline is measured: this implements the same joint registration + strain +
+LMA training step (same tensor shapes, same loss wiring) in idiomatic PyTorch
+— an independent implementation, not a copy of the reference — and times it
+on whatever torch device is available here (CPU in this container; the
+reference's own target was a single CUDA GPU).
+
+Run directly: prints JSON {"slices_per_sec": ...}. bench.py calls
+``measure_torch_baseline`` and caches the result in bench_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def measure_torch_baseline(batch: int = 2, h: int = 128, w: int = 128,
+                           t_frames: int = 20, t_strain: int = 40,
+                           n_sectors: int = 126, n_steps: int = 3,
+                           n_shoot: int = 5) -> float:
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
+    p = t_frames - 1
+
+    class ConvBlock(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, 3, stride=stride, padding=1)
+            self.norm = nn.GroupNorm(min(8, cout), cout)
+
+        def forward(self, x):
+            return F.gelu(self.norm(self.conv(x)))
+
+    class MomentumUNet(nn.Module):
+        def __init__(self, f=16, levels=3):
+            super().__init__()
+            self.levels = levels
+            self.enc = nn.ModuleList()
+            self.down = nn.ModuleList()
+            cin = 2
+            for l in range(levels):
+                self.enc.append(ConvBlock(cin, f * 2 ** l))
+                self.down.append(ConvBlock(f * 2 ** l, f * 2 ** l, stride=2))
+                cin = f * 2 ** l
+            self.mid = nn.Sequential(ConvBlock(cin, f * 2 ** levels),
+                                     ConvBlock(f * 2 ** levels, f * 2 ** levels))
+            self.up = nn.ModuleList()
+            self.dec = nn.ModuleList()
+            c = f * 2 ** levels
+            for l in reversed(range(levels)):
+                self.up.append(nn.Conv2d(c, f * 2 ** l, 3, padding=1))
+                self.dec.append(ConvBlock(f * 2 ** l + f * 2 ** l, f * 2 ** l))
+                c = f * 2 ** l
+            self.head = nn.Conv2d(c, 2, 3, padding=1)
+            nn.init.zeros_(self.head.weight)
+            nn.init.zeros_(self.head.bias)
+
+        def forward(self, x):
+            skips = []
+            for l in range(self.levels):
+                x = self.enc[l](x)
+                skips.append(x)
+                x = self.down[l](x)
+            x = self.mid(x)
+            for i, l in enumerate(reversed(range(self.levels))):
+                x = F.interpolate(x, scale_factor=2, mode="nearest")
+                x = self.up[i](x)
+                x = torch.cat([x, skips[l]], dim=1)
+                x = self.dec[i](x)
+            return self.head(x)
+
+    def fluid_sharp(m, alpha=2.0, gamma=1.0, power=2):
+        hh, ww = m.shape[-2:]
+        ky = torch.arange(hh, device=m.device)
+        kx = torch.arange(ww // 2 + 1, device=m.device)
+        lam = ((2 - 2 * torch.cos(2 * torch.pi * ky / hh))[:, None]
+               + (2 - 2 * torch.cos(2 * torch.pi * kx / ww))[None, :])
+        spec = (gamma + alpha * lam) ** power
+        return torch.fft.irfft2(torch.fft.rfft2(m) / spec, s=(hh, ww))
+
+    def warp(img, disp):
+        b, c, hh, ww = img.shape
+        yy, xx = torch.meshgrid(torch.arange(hh, device=img.device, dtype=torch.float32),
+                                torch.arange(ww, device=img.device, dtype=torch.float32),
+                                indexing="ij")
+        cy = (yy + disp[:, 0]).clamp(0, hh - 1) / (hh - 1) * 2 - 1
+        cx = (xx + disp[:, 1]).clamp(0, ww - 1) / (ww - 1) * 2 - 1
+        grid = torch.stack([cx, cy], dim=-1)
+        return F.grid_sample(img, grid, align_corners=True)
+
+    def grad_hw(f):
+        fy = (torch.roll(f, -1, -2) - torch.roll(f, 1, -2)) * 0.5
+        fx = (torch.roll(f, -1, -1) - torch.roll(f, 1, -1)) * 0.5
+        return fy, fx
+
+    def shoot(m0, steps):
+        dt = 1.0 / steps
+        v0 = fluid_sharp(m0)
+        m = m0
+        u = torch.zeros_like(m0)
+        for _ in range(steps):
+            v = fluid_sharp(m)
+            back = -dt * v
+            u = back + warp(u, back)
+            vy, vx = v[:, 0], v[:, 1]
+            my, mx = m[:, 0], m[:, 1]
+            dvy = grad_hw(vy); dvx = grad_hw(vx)
+            dmy = grad_hw(my); dmx = grad_hw(mx)
+            div = dvy[0] + dvx[1]
+            ady = dvy[0] * my + dvx[0] * mx + dmy[0] * vy + dmy[1] * vx + my * div
+            adx = dvy[1] * my + dvx[1] * mx + dmx[0] * vy + dmx[1] * vx + mx * div
+            m = m - dt * torch.stack([ady, adx], 1)
+        return u, v0
+
+    class Res3D(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            s = (1, stride, stride)
+            self.c1 = nn.Conv3d(cin, cout, 3, stride=s, padding=1)
+            self.n1 = nn.GroupNorm(min(8, cout), cout)
+            self.c2 = nn.Conv3d(cout, cout, 3, padding=1)
+            self.n2 = nn.GroupNorm(min(8, cout), cout)
+            self.sc = nn.Conv3d(cin, cout, 1, stride=s) if (stride != 1 or cin != cout) else None
+
+        def forward(self, x):
+            h0 = F.gelu(self.n1(self.c1(x)))
+            h0 = self.n2(self.c2(h0))
+            sc = self.sc(x) if self.sc is not None else x
+            return F.gelu(sc + h0)
+
+    class StrainHead(nn.Module):
+        def __init__(self, f=16, blocks=3):
+            super().__init__()
+            self.stem = nn.Conv3d(2, f, 3, padding=1)
+            self.blocks = nn.Sequential(*[Res3D(f * 2 ** max(0, i - 1) if i else f,
+                                                f * 2 ** i, stride=2)
+                                          for i in range(blocks)])
+            self.fc1 = nn.Linear(f * 2 ** (blocks - 1), 4 * f)
+            self.fc2 = nn.Linear(4 * f, n_sectors)
+            self.temporal = nn.Linear(p, t_strain)
+
+        def forward(self, x):           # (B, 2, P, H, W)
+            x = self.blocks(self.stem(x))
+            x = x.mean(dim=(-1, -2)).transpose(1, 2)   # (B, P, C)
+            x = self.fc2(F.gelu(self.fc1(x)))            # (B, P, S)
+            x = x.transpose(1, 2)                        # (B, S, P)
+            return self.temporal(x)                      # (B, S, Ts)
+
+    class LMAHead(nn.Module):
+        def __init__(self, f=16, layers=3):
+            super().__init__()
+            convs = []
+            cin = 1
+            for _ in range(layers):
+                convs += [nn.Conv2d(cin, f, 3, padding=1), nn.GroupNorm(8, f), nn.GELU()]
+                cin = f
+            self.convs = nn.Sequential(*convs)
+            self.fc1 = nn.Linear(t_strain * f, 4 * f)
+            self.fc2 = nn.Linear(4 * f, 1)
+
+        def forward(self, x):           # (B, 1, S, Ts)
+            x = self.convs(x)            # (B, f, S, Ts)
+            b, c, s, t = x.shape
+            x = x.permute(0, 2, 3, 1).reshape(b, s, t * c)
+            return F.softplus(self.fc2(F.gelu(self.fc1(x)))[..., 0]) + 1.0
+
+    unet = MomentumUNet().to(device)
+    strain_head = StrainHead().to(device)
+    lma = LMAHead().to(device)
+    params = (list(unet.parameters()) + list(strain_head.parameters())
+              + list(lma.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-4, weight_decay=1e-4)
+
+    masks = (torch.rand(batch, 1, t_frames, h, w, device=device) > 0.7).float()
+    strain_gt = torch.randn(batch, 1, n_sectors, t_strain, device=device) * 0.1
+    tos_gt = torch.rand(batch, n_sectors, device=device) * 30 + 1
+
+    def step():
+        src = masks[:, :, :1].expand(-1, -1, p, -1, -1).reshape(batch * p, 1, h, w)
+        tar = masks[:, :, 1:].reshape(batch * p, 1, h, w)
+        m0 = unet(torch.cat([src, tar], 1))
+        u, v0 = shoot(m0, n_shoot)
+        deformed = warp(src, u)
+        video = u.reshape(batch, p, 2, h, w).transpose(1, 2)   # (B,2,P,H,W)
+        strain = strain_head(video)[:, None]                    # (B,1,S,Ts)
+        # SVD smoothing (reference semantics: rank-5 denoise)
+        uu, ss, vv = torch.linalg.svd(strain.squeeze(1), full_matrices=False)
+        ss = torch.cat([ss[..., :5], torch.zeros_like(ss[..., 5:])], -1)
+        strain = (uu @ torch.diag_embed(ss) @ vv)[:, None]
+        tos = lma(strain)
+        recon = 0.5 * F.mse_loss(deformed, tar) / 0.03 ** 2
+        reg = 0.1 * (v0 * m0).sum() / tar.numel()
+        sup = 1000.0 * F.mse_loss(strain, strain_gt)
+        tosl = 0.005 * F.mse_loss(tos, tos_gt)
+        loss = recon + reg + sup + tosl
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    dt = (time.perf_counter() - t0) / n_steps
+    return batch / dt
+
+
+if __name__ == "__main__":
+    sps = measure_torch_baseline()
+    print(json.dumps({"slices_per_sec": sps}))

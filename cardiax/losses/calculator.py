@@ -27,13 +27,20 @@ def _masked_batch_mean(per_sample: jnp.ndarray, mask: jnp.ndarray | None) -> jnp
     return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _mask_for(targets: Dict[str, Any], conf: Dict[str, Any]):
+    """Each loss conf may name its batch mask (default ``sample_mask``) — the
+    pairwise scheme masks the LDDMM energy by real (non-padded) frame pairs
+    while the TOS loss masks by real slices."""
+    return targets.get(conf.get("mask", "sample_mask"))
+
+
 def mse_loss(outputs: Dict[str, Any], targets: Dict[str, Any], conf: Dict[str, Any]) -> jnp.ndarray:
     """Dict-keyed MSE (reference loss_calculator.py:55-66)."""
     pred = outputs[conf["prediction"]]
     tgt = targets[conf["target"]]
     diff = (pred.astype(jnp.float32) - tgt.astype(jnp.float32)) ** 2
     per_sample = diff.reshape(diff.shape[0], -1).mean(axis=1)
-    return _masked_batch_mean(per_sample, targets.get("sample_mask"))
+    return _masked_batch_mean(per_sample, _mask_for(targets, conf))
 
 
 def cross_entropy_loss(outputs: Dict[str, Any], targets: Dict[str, Any],
@@ -50,7 +57,7 @@ def cross_entropy_loss(outputs: Dict[str, Any], targets: Dict[str, Any],
     logits_last = jnp.moveaxis(logits, 1, -1)      # class axis to last
     ce = optax.softmax_cross_entropy_with_integer_labels(logits_last, labels)
     per_sample = ce.reshape(ce.shape[0], -1).mean(axis=1)
-    return _masked_batch_mean(per_sample, targets.get("sample_mask"))
+    return _masked_batch_mean(per_sample, _mask_for(targets, conf))
 
 
 _CRITERIA: Dict[str, Callable] = {

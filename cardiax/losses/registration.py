@@ -56,7 +56,7 @@ def registration_reconstruction_loss(outputs: dict, targets: dict, conf: dict) -
         momentum=outputs["momentum"],
         sigma=float(conf.get("sigma", 0.03)),
         regularization_weight=float(conf.get("regularization_weight", 0.1)),
-        sample_mask=targets.get("sample_mask"),
+        sample_mask=targets.get(conf.get("mask", "sample_mask")),
     )
 
 
@@ -89,7 +89,7 @@ def gradient_magnitude_loss(outputs: dict, targets: dict, conf: dict) -> jnp.nda
     offset = float(conf.get("offset", 0.0))
     mag = _sobel_magnitude(img)
     per_img = jnp.abs(mag.reshape(mag.shape[0], -1).sum(axis=1) - offset)
-    mask = targets.get("sample_mask")
+    mask = targets.get(conf.get("mask", "sample_mask"))
     if mask is None:
         return per_img.mean()
     w = mask.astype(per_img.dtype)

@@ -1,0 +1,91 @@
+"""JointRegisterStrainMatNet: the flagship volume-registration + strain model.
+
+Contract parity (SURVEY.md section 2.11.2; reference
+joint_registration_strainmat_LMA.py:307-318, configs/config.json:108-115):
+
+    forward_volume(src_vol (B,1,P,H,W), tar_vol (B,1,P,H,W)) -> {
+        'strain_matrix':   (B, 1, n_sectors, n_strain_matrix_frames),
+        'deformed_source': (B, 1, P, H, W),
+        'velocity':        (B, 2, P, H, W),
+        'momentum':        (B, 2, P, H, W),
+    }
+
+where P = T-1 Lagrangian pairs (frame 0 vs frames 1..T-1).
+
+TPU-first composition — everything below is ONE jitted fwd-bwd graph:
+  1. the P pair axis folds into the batch axis so the momentum UNet and
+     geodesic shooting run as one big (B*P)-batched program (this is the axis
+     the mesh shards, SURVEY.md section 5.7);
+  2. per-pair displacements regroup into a motion video (B, P, H, W, 2) for
+     the ResNet3D strain head (strainmat_net_type "ResNet3D");
+  3. the predicted strain matrix is low-rank smoothed on-device
+     (strainmat_smoothing_method "SVD", rank 5) via differentiable subspace
+     iteration — the reference's SVDDenoise (DENSE_utils.py:11-14) inside the
+     training graph instead of a post-hoc numpy pass.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cardiax.models.strain_net import ResNet3DStrainHead
+from cardiax.models.unet import MomentumUNet
+from cardiax.ops.shooting import deform_image, expmap_shooting
+from cardiax.ops.svd_smooth import subspace_denoise
+
+
+class JointRegisterStrainMatNet(nn.Module):
+    strainmat_net_type: str = "ResNet3D"
+    n_strain_matrix_frames: int = 40
+    strainmat_smoothing_method: str = "SVD"
+    strainmat_smoothing_SVD_rank: int = 5
+    n_sectors: int = 126
+    reg_features: int = 16
+    reg_levels: int = 3
+    alpha: float = 2.0
+    gamma: float = 1.0
+    fluid_power: int = 2
+    n_integration_steps: int = 5
+    strain_features: int = 16
+
+    @nn.compact
+    def __call__(self, src_vol: jnp.ndarray, tar_vol: jnp.ndarray,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        return self.forward_volume(src_vol, tar_vol, train)
+
+    def forward_volume(self, src_vol: jnp.ndarray, tar_vol: jnp.ndarray,
+                       train: bool = False) -> Dict[str, jnp.ndarray]:
+        b, c, p, h, w = src_vol.shape
+        # 1. fold pairs into batch: (B*P, H, W, 2) NHWC pair stack
+        src = src_vol.reshape(b * p, 1, h, w)
+        tar = tar_vol.reshape(b * p, 1, h, w)
+        x = jnp.concatenate([src, tar], axis=1)
+        x = jnp.moveaxis(x, 1, -1)
+        m0 = MomentumUNet(self.reg_features, self.reg_levels, name="momentum_unet")(x)
+        m0 = jnp.moveaxis(m0, -1, 1)                          # (B*P, 2, H, W)
+        u_inv, v0 = expmap_shooting(
+            m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
+            n_steps=self.n_integration_steps)
+        deformed = deform_image(src, u_inv)                   # (B*P, 1, H, W)
+
+        # 2. regroup displacements into a motion video for the strain head
+        disp_video = u_inv.reshape(b, p, 2, h, w)
+        video = jnp.moveaxis(disp_video, 2, -1)               # (B, P, H, W, 2)
+        strain = ResNet3DStrainHead(
+            self.n_sectors, self.strain_features,
+            out_frames=self.n_strain_matrix_frames, name="strain_head")(video)
+
+        # 3. on-device low-rank smoothing of the predicted strain matrix
+        if self.strainmat_smoothing_method == "SVD":
+            strain = subspace_denoise(strain, self.strainmat_smoothing_SVD_rank)
+
+        return {
+            "strain_matrix": strain[:, None],                 # (B, 1, S, Ts)
+            "deformed_source": deformed.reshape(b, 1, p, h, w),
+            "velocity": v0.reshape(b, 2, p, h, w),
+            "momentum": m0.reshape(b, 2, p, h, w),
+            "displacement": disp_video,                        # (B, P, 2, H, W)
+        }

@@ -1,0 +1,113 @@
+"""Geodesic shooting: EPDiff integration of an initial momentum field.
+
+TPU-native replacement for lagomorph's CUDA EPDiff/adjoint kernels (SURVEY.md
+section 2.12). Given initial momentum m0 (B, 2, H, W) and a fluid metric K:
+
+    v_t = K m_t
+    d m_t / dt = -ad*_{v_t} m_t = -[ (Dv)^T m + (Dm) v + m div v ]
+    phi^{-1}_{t+dt}(x) = phi^{-1}_t(x - dt v_t(x))
+
+integrated with ``n_steps`` fixed Euler steps inside ``lax.scan`` (static trip
+count => one compiled loop body; ``jax.checkpoint`` on the body keeps autodiff
+memory O(1) in steps). Also provides stationary-velocity scaling-and-squaring
+(``expmap_svf``) as a cheaper diffeomorphic mode.
+
+All spatial derivatives are central differences with edge clamping, matching
+the finite-difference Laplacian used by the metric.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cardiax.ops.fluid_metric import sharp
+from cardiax.ops.warp import bilinear_warp, warp_vector_field
+
+
+def _grad_hw(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference d/dy, d/dx of (..., H, W) with edge replication."""
+    fy = (jnp.roll(f, -1, axis=-2) - jnp.roll(f, 1, axis=-2)) * 0.5
+    fx = (jnp.roll(f, -1, axis=-1) - jnp.roll(f, 1, axis=-1)) * 0.5
+    # one-sided at the borders
+    fy = fy.at[..., 0, :].set(f[..., 1, :] - f[..., 0, :])
+    fy = fy.at[..., -1, :].set(f[..., -1, :] - f[..., -2, :])
+    fx = fx.at[..., :, 0].set(f[..., :, 1] - f[..., :, 0])
+    fx = fx.at[..., :, -1].set(f[..., :, -1] - f[..., :, -2])
+    return fy, fx
+
+
+def ad_star(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Coadjoint action ad*_v m = (Dv)^T m + (Dm) v + m div(v).
+
+    v, m: (B, 2, H, W) with channel 0 = y-component, 1 = x-component.
+    """
+    vy, vx = v[:, 0], v[:, 1]
+    my, mx = m[:, 0], m[:, 1]
+    dvy_dy, dvy_dx = _grad_hw(vy)
+    dvx_dy, dvx_dx = _grad_hw(vx)
+    dmy_dy, dmy_dx = _grad_hw(my)
+    dmx_dy, dmx_dx = _grad_hw(mx)
+    div_v = dvy_dy + dvx_dx
+    # (Dv)^T m
+    a_y = dvy_dy * my + dvx_dy * mx
+    a_x = dvy_dx * my + dvx_dx * mx
+    # (Dm) v
+    b_y = dmy_dy * vy + dmy_dx * vx
+    b_x = dmx_dy * vy + dmx_dx * vx
+    out_y = a_y + b_y + my * div_v
+    out_x = a_x + b_x + mx * div_v
+    return jnp.stack([out_y, out_x], axis=1)
+
+
+def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
+                    power: int = 2, n_steps: int = 5,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EPDiff shooting. Returns (u_inv, v0):
+
+      u_inv (B, 2, H, W): displacement of the INVERSE map, phi^{-1} = id + u_inv
+                          (deformed_source(x) = src(x + u_inv(x)));
+      v0    (B, 2, H, W): initial velocity K m0 (for the metric-norm loss).
+    """
+    dt = 1.0 / n_steps
+    v0 = sharp(m0, alpha, gamma, power)
+
+    def step(carry, _):
+        m, u_inv = carry
+        v = sharp(m, alpha, gamma, power)
+        # semi-Lagrangian update of the inverse map:
+        # phi_inv_new(x) = phi_inv(x - dt v(x)) ; with phi_inv = id + u:
+        # u_new(x) = -dt v(x) + u(x - dt v(x))
+        back = -dt * v
+        u_inv_new = back + warp_vector_field(u_inv, back)
+        m_new = m - dt * ad_star(v, m)
+        return (m_new, u_inv_new), None
+
+    step = jax.checkpoint(step)
+    init = (m0, jnp.zeros_like(m0))
+    (m_final, u_inv), _ = jax.lax.scan(step, init, None, length=n_steps)
+    return u_inv, v0
+
+
+def expmap_svf(v: jnp.ndarray, n_squarings: int = 4) -> jnp.ndarray:
+    """Stationary-velocity scaling-and-squaring: displacement of exp(v).
+
+    u <- v / 2^n ; repeat n times: u <- u(x) + u(x + u(x)).
+    Returns displacement u with exp(v)(x) = x + u(x).
+    """
+    u = v / (2.0 ** n_squarings)
+
+    def square(u, _):
+        return u + warp_vector_field(u, u), None
+
+    u, _ = jax.lax.scan(jax.checkpoint(square), u, None, length=n_squarings)
+    return u
+
+
+def deform_image(img: jnp.ndarray, u_inv: jnp.ndarray) -> jnp.ndarray:
+    """deformed(x) = img(x + u_inv(x)); img (B, C, H, W), u_inv (B, 2, H, W)."""
+    b, c, h, w = img.shape
+    out = jnp.stack([bilinear_warp(img[:, i], u_inv) for i in range(c)], axis=1)
+    return out

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import copy
 import time
+from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -89,6 +90,11 @@ class Scheme:
     def example_inputs(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
         """Arrays needed to init params (defaults to all array fields)."""
         return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+    def make_loader(self, dataset, batch_size: int, shuffle: bool, seed: int = 0):
+        """Batch iterator for this scheme; the pairwise registration scheme
+        overrides with the slice-grouping loader (SliceBatcher)."""
+        return Batcher(dataset, batch_size, shuffle=shuffle, seed=seed)
 
     def init_params(self, modules: Dict[str, Any], rng: jax.Array,
                     batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -226,9 +232,9 @@ class TrainerEngine:
         val_name = "test" if test_as_val and "test" in datasets else "val"
         val_ds = datasets.get(val_name)
 
-        train_loader = Batcher(train_ds, batch_size, shuffle=True, seed=seed)
-        val_loader = Batcher(val_ds, batch_size, shuffle=False) if val_ds is not None \
-            and len(val_ds) > 0 else None
+        train_loader = self.scheme.make_loader(train_ds, batch_size, shuffle=True, seed=seed)
+        val_loader = self.scheme.make_loader(val_ds, batch_size, shuffle=False) \
+            if val_ds is not None and len(val_ds) > 0 else None
 
         if tracker is None:
             tracker = MetricsTracker(
@@ -238,6 +244,25 @@ class TrainerEngine:
 
         first_batch = next(iter(train_loader))
         self.setup(models, first_batch, steps_per_epoch=len(train_loader), seed=seed)
+
+        # ---- checkpointing / resume (SURVEY.md 5.4: real resume, unlike the
+        # reference's save-only persistence) ----
+        ckpt = None
+        start_epoch = 0
+        saving = self.full_config.get("saving", {})
+        if saving.get("save_checkpoint") and saving.get("saving_dir"):
+            from cardiax.io.checkpoints import CheckpointManager
+            ckpt = CheckpointManager(
+                str(Path(saving["saving_dir"]) / "checkpoints"),
+                max_to_keep=int(saving.get("save_model_num", 3)),
+                save_interval_epochs=int(saving.get("checkpoint_interval", 1)))
+            if cfg.get("resume", False) and ckpt.latest_epoch() is not None:
+                template = {"params": self.params, "opt_states": self.opt_states,
+                            "extra": {"epoch": 0, "best_val": 0.0}}
+                state = ckpt.restore(template=template)
+                self.params = state["params"]
+                self.opt_states = state["opt_states"]
+                start_epoch = int(state["extra"]["epoch"]) + 1
 
         best_val = float("inf")
         # params are DONATED to the compiled train step, so best-params
@@ -249,16 +274,31 @@ class TrainerEngine:
         best_epoch_metrics: Dict[str, float] = {}
         t_start = time.perf_counter()
 
-        for epoch in range(epochs):
+        # ---- optional profiler trace of the first few steps (SURVEY.md 5.1:
+        # the reference has no tracing; jax.profiler makes it near-free) ----
+        profile_dir = self.full_config.get("others", {}).get("profile_dir")
+        profile_steps = int(self.full_config.get("others", {}).get("profile_steps", 5))
+        profiling = False
+        global_step = 0
+
+        for epoch in range(start_epoch, epochs):
             # ---- train ----
             accum: Dict[str, float] = {}
             n_batches = 0
             for batch in train_loader:
+                if profile_dir and global_step == 1 and not profiling:
+                    jax.profiler.start_trace(profile_dir)   # skip compile step
+                    profiling = True
                 arrays = shard_batch(batch, self.mesh)
                 arrays = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
                 self.params, self.opt_states, values = self._train_step(
                     self.params, self.opt_states, arrays)
                 n_batches += 1
+                global_step += 1
+                if profiling and global_step > profile_steps:
+                    jax.block_until_ready(values["total_loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
                 for k, v in values.items():
                     accum[k] = accum.get(k, 0.0) + float(v)
             epoch_metrics = {f"{prefix}train/{k}": v / max(1, n_batches)
@@ -281,6 +321,9 @@ class TrainerEngine:
                 epoch_total_val = epoch_metrics.get(f"{prefix}val/total_loss")
 
             tracker.log(epoch_metrics, step=epoch)
+            if ckpt is not None:
+                ckpt.save(epoch, self.params, self.opt_states,
+                          extra={"epoch": epoch, "best_val": best_val})
 
             # ---- early stopping on total val loss (reference :238-263) ----
             monitor = epoch_total_val if epoch_total_val is not None \
@@ -296,6 +339,10 @@ class TrainerEngine:
                 if epochs_without_improvement > tolerance:
                     break
 
+        if profiling:
+            jax.profiler.stop_trace()
+        if ckpt is not None:
+            ckpt.close()   # orbax saves are async; block before process exit
         if best_epoch_metrics:
             tracker.log_best(best_epoch_metrics, step=best_epoch)
         elapsed = time.perf_counter() - t_start
@@ -328,7 +375,7 @@ class TrainerEngine:
             elif hasattr(v, "module"):
                 bundles[k] = v
         ds = datasets[target_dataset]
-        loader = Batcher(ds, batch_size, shuffle=False)
+        loader = self.scheme.make_loader(ds, batch_size, shuffle=False)
         if self._eval_step is None or self.params is None:
             first = next(iter(loader))
             self.setup(bundles, first, steps_per_epoch=max(1, len(loader)),

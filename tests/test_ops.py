@@ -1,0 +1,206 @@
+"""Numerical tests for the native ops layer (SURVEY.md section 4, item 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from cardiax.ops.fluid_metric import FluidMetric, sharp, flat
+from cardiax.ops.shooting import ad_star, deform_image, expmap_shooting, expmap_svf
+from cardiax.ops.strain import circumferential_strain, sector_matrix
+from cardiax.ops.svd_smooth import subspace_denoise, svd_denoise
+from cardiax.ops.warp import bilinear_warp, compose_displacements
+
+H = W = 32
+
+
+def _smooth_img(seed=0, h=H, w=W):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(h, w))
+    return ndimage.gaussian_filter(img, 2.0).astype(np.float32)
+
+
+class TestWarp:
+    def test_identity(self):
+        img = jnp.asarray(_smooth_img())
+        out = bilinear_warp(img, jnp.zeros((2, H, W)))
+        np.testing.assert_allclose(out, img, atol=1e-6)
+
+    def test_integer_shift(self):
+        img = jnp.asarray(_smooth_img(1))
+        disp = jnp.zeros((2, H, W)).at[0].set(1.0)  # sample at y+1
+        out = bilinear_warp(img, disp)
+        np.testing.assert_allclose(out[:-1], img[1:], atol=1e-6)
+
+    def test_matches_map_coordinates(self):
+        img = _smooth_img(2)
+        rng = np.random.default_rng(3)
+        disp = ndimage.gaussian_filter(rng.normal(size=(2, H, W)), 3.0).astype(np.float32) * 2
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        cy = np.clip(yy + disp[0], 0, H - 1)
+        cx = np.clip(xx + disp[1], 0, W - 1)
+        ref = ndimage.map_coordinates(img, [cy, cx], order=1, mode="nearest")
+        out = bilinear_warp(jnp.asarray(img), jnp.asarray(disp))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_batched_and_grad(self):
+        imgs = jnp.asarray(np.stack([_smooth_img(i) for i in range(4)]))   # (4, H, W)
+        disp = jnp.full((4, 2, H, W), 0.3)
+
+        def loss(d):
+            return jnp.sum(bilinear_warp(imgs, d) ** 2)
+
+        g = jax.grad(loss)(disp)
+        assert g.shape == disp.shape
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_compose(self):
+        u1 = jnp.zeros((2, H, W)).at[0].set(1.0)
+        u2 = jnp.zeros((2, H, W)).at[1].set(2.0)
+        u = compose_displacements(u1, u2)
+        # interior: total displacement = inner + outer
+        np.testing.assert_allclose(np.asarray(u[0, 4:-4, 4:-4]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(u[1, 4:-4, 4:-4]), 2.0, atol=1e-5)
+
+
+class TestFluidMetric:
+    def test_sharp_flat_roundtrip(self):
+        m = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2, H, W)).astype(np.float32))
+        v = sharp(m, alpha=2.0, gamma=1.0, power=2)
+        m_back = flat(v, alpha=2.0, gamma=1.0, power=2)
+        np.testing.assert_allclose(np.asarray(m_back), np.asarray(m), atol=1e-4)
+
+    def test_smooths(self):
+        rng = np.random.default_rng(1)
+        m = jnp.asarray(rng.normal(size=(1, 1, H, W)).astype(np.float32))
+        v = FluidMetric(alpha=2.0, gamma=1.0, power=2).sharp(m)
+        # high-frequency energy must shrink much more than DC
+        def hf_energy(x):
+            f = np.fft.rfft2(np.asarray(x)[0, 0])
+            return np.abs(f[H // 4: 3 * H // 4]).sum()
+        assert hf_energy(v) < 0.05 * hf_energy(m)
+
+    def test_dc_gain(self):
+        m = jnp.ones((1, 1, H, W))
+        v = sharp(m, alpha=2.0, gamma=1.0, power=2)
+        np.testing.assert_allclose(np.asarray(v), 1.0, atol=1e-5)  # K has DC gain 1/gamma^p
+
+
+class TestShooting:
+    def test_zero_momentum(self):
+        m0 = jnp.zeros((1, 2, H, W))
+        u, v0 = expmap_shooting(m0, n_steps=4)
+        assert float(jnp.abs(u).max()) == 0.0
+        assert float(jnp.abs(v0).max()) == 0.0
+
+    def test_svf_constant_field(self):
+        v = jnp.zeros((1, 2, H, W)).at[:, 0].set(2.0)
+        u = expmap_svf(v, n_squarings=4)
+        np.testing.assert_allclose(np.asarray(u[0, 0, 8:-8, 8:-8]), 2.0, atol=1e-4)
+
+    def test_shooting_small_deformation_diffeomorphic(self):
+        # smooth random momentum -> displacement finite, smooth, invertible-ish
+        rng = np.random.default_rng(2)
+        m0 = ndimage.gaussian_filter(rng.normal(size=(1, 2, H, W)), 4.0).astype(np.float32)
+        m0 = jnp.asarray(m0 * 20.0)
+        u, v0 = expmap_shooting(m0, alpha=2.0, gamma=1.0, power=2, n_steps=5)
+        assert np.isfinite(np.asarray(u)).all()
+        # Jacobian of id+u must stay positive (no folding) for small fields
+        from cardiax.ops.shooting import _grad_hw
+        uy_y, uy_x = _grad_hw(u[0, 0])
+        ux_y, ux_x = _grad_hw(u[0, 1])
+        jac = (1 + uy_y) * (1 + ux_x) - uy_x * ux_y
+        assert float(jac.min()) > 0.0
+
+    def test_energy_conservation(self):
+        rng = np.random.default_rng(3)
+        m0 = ndimage.gaussian_filter(rng.normal(size=(1, 2, H, W)), 4.0).astype(np.float32)
+        m0 = jnp.asarray(m0 * 5.0)
+        # <m, Km> at t=0 vs after integration with many steps: drift stays small
+        from cardiax.ops.fluid_metric import sharp as K
+        from cardiax.ops.shooting import ad_star
+
+        def energy(m):
+            return float(jnp.sum(m * K(m)))
+
+        e0 = energy(m0)
+        m = m0
+        dt = 1.0 / 20
+        for _ in range(20):
+            v = K(m)
+            m = m - dt * ad_star(v, m)
+        drift = abs(energy(m) - e0) / (abs(e0) + 1e-9)
+        assert drift < 0.05, f"EPDiff energy drift {drift}"
+
+    def test_deform_image_grad(self):
+        img = jnp.asarray(_smooth_img(4))[None, None]
+        m0 = jnp.asarray(np.random.default_rng(5).normal(size=(1, 2, H, W)).astype(np.float32))
+
+        def loss(m):
+            u, _ = expmap_shooting(m, n_steps=3)
+            return jnp.sum(deform_image(img, u) ** 2)
+
+        g = jax.grad(loss)(m0)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestSVD:
+    def test_exact_on_low_rank(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(126, 3)) @ rng.normal(size=(3, 40))
+        a = jnp.asarray(a.astype(np.float32))
+        out = subspace_denoise(a, rank=5)
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(a)) / np.linalg.norm(np.asarray(a))
+        assert rel < 1e-2, f"rank-3 matrix not preserved: rel err {rel}"
+
+    def test_matches_numpy_truncation(self):
+        # operating regime: low-rank signal + small noise (strain matrices),
+        # i.e. a clear spectral gap — where subspace iteration converges fast.
+        # (on a gapless Gaussian matrix the top-5 subspace is ill-defined and
+        # ANY method's truncation is arbitrary.)
+        rng = np.random.default_rng(1)
+        a = (rng.normal(size=(126, 4)) @ rng.normal(size=(4, 40))
+             + 0.05 * rng.normal(size=(126, 40))).astype(np.float32)
+        ref = svd_denoise(a, rank=5)
+        out = subspace_denoise(jnp.asarray(a), rank=5, n_iters=8)
+        err = np.linalg.norm(np.asarray(out) - ref) / np.linalg.norm(ref)
+        assert err < 0.02, err
+
+    def test_differentiable(self):
+        a = jnp.asarray(np.random.default_rng(2).normal(size=(8, 126, 40)).astype(np.float32))
+        g = jax.grad(lambda x: jnp.sum(subspace_denoise(x, 5) ** 2))(a)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestStrain:
+    def _annulus(self):
+        yy, xx = np.mgrid[0:H, 0:W]
+        rr = np.hypot(yy - H / 2, xx - W / 2)
+        return ((rr > 5) & (rr < 12)).astype(np.float32)
+
+    def test_sector_matrix_partitions_mask(self):
+        mask = jnp.asarray(self._annulus())
+        sm = sector_matrix(mask, 126)
+        np.testing.assert_allclose(np.asarray(sm.sum(axis=0)),
+                                   np.asarray(mask).reshape(-1), atol=1e-6)
+
+    def test_uniform_scaling_strain(self):
+        # material displacement u = s*(x - c): E_cc = s + s^2/2 everywhere
+        s = -0.1
+        mask = self._annulus()
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        cy = (yy * mask).sum() / mask.sum()
+        cx = (xx * mask).sum() / mask.sum()
+        t = 3
+        disp = np.zeros((2, t, H, W), np.float32)
+        for f in range(t):
+            disp[0, f] = s * (yy - cy)
+            disp[1, f] = s * (xx - cx)
+        strain = circumferential_strain(jnp.asarray(disp), jnp.asarray(mask), 126)
+        expected = s + 0.5 * s * s
+        vals = np.asarray(strain)
+        active = vals[np.abs(vals).sum(axis=1) > 0]
+        np.testing.assert_allclose(active, expected, atol=0.02)

@@ -1,0 +1,187 @@
+"""Integration tests: all remaining training schemes end-to-end on tiny shapes
+(BASELINE configs #3-#5). CPU backend, 8 virtual devices."""
+
+import numpy as np
+import pytest
+
+from cardiax.data.datasets import build_datasets
+from cardiax.data.synthetic import (
+    add_displacement_fields,
+    make_dataset,
+    make_registration_pairs,
+)
+from cardiax.models import build_model
+from cardiax.train import build_trainer
+
+H = W = 16
+T = 6
+NSEC = 126
+
+
+def _slice_data(n_subjects=3, seed=0):
+    data = make_dataset(n_subjects=n_subjects, slices_per_subject=1,
+                        h=H, w=W, n_frames=T, seed=seed)
+    data = add_displacement_fields(data, seed=seed)
+    for i, d in enumerate(data):
+        d["slice_full_id"] = f"{d['subject_id']}-{i}"
+        d["slice_idx"] = i
+        d["augmented"] = False
+    return data
+
+
+def _train_and_test(cfg, datasets, epochs=2):
+    networks = {name: build_model(mc) for name, mc in cfg["networks"].items()}
+    trainer = build_trainer(cfg["training"], None, cfg)
+    trained, _ = trainer.train(models=networks, datasets=datasets,
+                               trainer_config=cfg["training"], full_config=cfg)
+    # guard against silent NaN training (best_epoch stays -1 when every
+    # epoch's loss is NaN, since nan < inf is False)
+    assert trained["best_epoch"] >= 0, "no epoch improved: training loss was NaN"
+    assert np.isfinite(trained["best_val_loss"])
+    preds, perf, _ = trainer.test(models=trained, datasets=datasets,
+                                  trainer_config=cfg["training"], full_config=cfg,
+                                  target_dataset="val")
+    return trained, preds, perf
+
+
+REG_NET = {"type": "RegistrationNet", "features": 8, "n_levels": 2,
+           "n_integration_steps": 2, "alpha": 2.0, "gamma": 1.0}
+
+
+def test_reg_scheme():
+    pairs = make_registration_pairs(_slice_data())
+    splits = {"train": {"data": pairs}, "val": {"data": pairs[:4]}}
+    datasets = build_datasets(
+        {n: {"type": "BasicRegistrationDataset", "data_split": [n]}
+         for n in ("train", "val")}, splits)
+    cfg = {
+        "networks": {"registration": REG_NET},
+        "training": {"scheme": "reg", "seed": 0, "batch_size": 5, "epochs": 2,
+                     "optimizers": {"registration": {"type": "Adam",
+                                                     "learning_rate": 1e-3}}},
+        "losses": {},   # scheme injects the hardcoded LDDMM default
+        "saving": {}, "others": {},
+    }
+    trained, preds, perf = _train_and_test(cfg, datasets)
+    p = preds[0]
+    assert p["deformed_source_pred"].shape == (1, H, W)
+    assert p["displacement_pred"].shape == (2, H, W)
+    assert p["momentum_pred"].shape == (2, H, W)
+    assert np.isfinite(perf["final-val/reconstruction_mse"])
+    # check the LDDMM default got injected
+    assert "registration_reconstruction" in cfg["losses"]
+
+
+def test_strainmat_pred_scheme():
+    data = _slice_data()
+    splits = {"train": {"data": data}, "val": {"data": data}}
+    datasets = build_datasets(
+        {n: {"type": "StrainMatDataset", "data_split": [n],
+             "n_frames_to_use_for_regression": T} for n in ("train", "val")}, splits)
+    cfg = {
+        "networks": {"masks_to_strain_mat": {"type": "NetDisplacement2StrainMat",
+                                             "features": 8}},
+        "training": {"scheme": "strainmat_pred", "seed": 0, "batch_size": 3,
+                     "epochs": 2,
+                     "optimizers": {"masks_to_strain_mat": {"type": "Adam",
+                                                            "learning_rate": 1e-3}}},
+        "losses": {}, "saving": {}, "others": {},
+    }
+    trained, preds, perf = _train_and_test(cfg, datasets)
+    assert preds[0]["strainmat_pred"].shape == (NSEC, T)
+    assert np.isfinite(perf["final-val/strainmat_mse"])
+
+
+def test_strainmat_lma_scheme():
+    data = _slice_data()
+    splits = {"train": {"data": data}, "val": {"data": data}}
+    datasets = build_datasets(
+        {n: {"type": "StrainMatDataset", "data_split": [n],
+             "n_frames_to_use_for_regression": T} for n in ("train", "val")}, splits)
+    cfg = {
+        "networks": {
+            "strain": {"type": "NetDisplacement2StrainMat", "features": 8},
+            "LMA": {"type": "NetStrainMat2LMA", "num_conv_layers": 2,
+                    "inner_conv_channel_num": 8, "n_frames": T}},
+        "training": {"scheme": "strainmat_LMA", "seed": 0, "batch_size": 3,
+                     "epochs": 2,
+                     "optimizers": {
+                         "strain": {"type": "Adam", "learning_rate": 1e-3},
+                         "LMA": {"type": "Adam", "learning_rate": 1e-3}}},
+        "losses": {}, "saving": {}, "others": {},
+    }
+    trained, preds, perf = _train_and_test(cfg, datasets)
+    assert preds[0]["strainmat_pred"].shape == (NSEC, T)
+    assert preds[0]["TOS_pred"].shape == (NSEC,)
+    assert np.isfinite(perf["final-val/sector_error"])
+
+
+def test_joint_registration_strainmat_lma_scheme():
+    data = _slice_data(n_subjects=4)
+    splits = {"train": {"data": data}, "val": {"data": data[:2]}}
+    ts = 12
+    datasets = build_datasets(
+        {n: {"type": "JointDataset", "data_split": [n],
+             "n_myo_frames_to_use_for_regression": T,
+             "n_strainmat_frames_to_use_for_regression": ts}
+         for n in ("train", "val")}, splits)
+    cfg = {
+        "networks": {
+            "joint_register_strainmat": {
+                "type": "JointRegisterStrainMatNet", "strainmat_net_type": "ResNet3D",
+                "n_strain_matrix_frames": ts, "strainmat_smoothing_method": "SVD",
+                "strainmat_smoothing_SVD_rank": 5, "reg_features": 8,
+                "n_integration_steps": 2},
+            "LMA": {"type": "NetStrainMat2LMA", "num_conv_layers": 2,
+                    "inner_conv_channel_num": 8, "n_frames": ts}},
+        "training": {"scheme": "joint_registration_strainmat_LMA",
+                     "LMA_task": "TOS_regression", "LMA_threshold": 20,
+                     "seed": 2434, "batch_size": 4, "epochs": 2,
+                     "optimizers": {
+                         "joint_register_strainmat": {"type": "Adam",
+                                                      "learning_rate": 1e-4},
+                         "LMA": {"type": "Adam", "learning_rate": 5e-4}}},
+        "losses": {
+            "registration_reconstruction": {
+                "criterion": "registration_reconstruction", "prediction": "various",
+                "target": "registration_target", "weight": 1.0, "sigma": 0.03,
+                "regularization_weight": 0.1, "enable": True},
+            "registration_supervision": {"criterion": "MSELoss",
+                                         "prediction": "strainmat",
+                                         "target": "strainmat", "weight": 1000.0,
+                                         "enable": True},
+            "TOS_regression": {"criterion": "MSELoss", "prediction": "TOS",
+                               "target": "TOS", "weight": 0.005, "enable": True}},
+        "saving": {}, "others": {},
+    }
+    trained, preds, perf = _train_and_test(cfg, datasets)
+    p = preds[0]
+    assert p["strain_matrix_pred"].shape == (1, NSEC, ts)
+    assert p["TOS_pred"].shape == (NSEC,)
+    assert np.isfinite(perf["final-val/sector_error"])
+    assert "final-val/LMA_accuracy" in perf
+
+
+def test_joint_registration_regression_scheme():
+    pairs = make_registration_pairs(_slice_data(n_subjects=3))
+    splits = {"train": {"data": pairs}, "val": {"data": pairs}}
+    datasets = build_datasets(
+        {n: {"type": "BasicRegistrationDataset", "data_split": [n],
+             "feed_masks": True} for n in ("train", "val")}, splits)
+    cfg = {
+        "networks": {
+            "cine_registraion": REG_NET,
+            "LMA": {"type": "NetDisplacement2LMA", "num_conv_layers": 2,
+                    "inner_conv_channel_num": 8, "time_axis_last": False}},
+        "training": {"scheme": "joint_registration_regression", "seed": 0,
+                     "batch_size": 2, "epochs": 2, "LMA_n_frames": 8,
+                     "mask_displacement": True,
+                     "optimizers": {
+                         "cine_registraion": {"type": "Adam", "learning_rate": 1e-3},
+                         "LMA": {"type": "Adam", "learning_rate": 1e-3}}},
+        "losses": {}, "saving": {}, "others": {},
+    }
+    trained, preds, perf = _train_and_test(cfg, datasets)
+    p = preds[0]
+    assert p["TOS_pred"].shape == (NSEC,)
+    assert np.isfinite(perf["final-val/sector_error"])
