@@ -63,13 +63,16 @@ def _measure_cardiax() -> float:
     params, opt_states = trainer.params, trainer.opt_states
     for _ in range(WARMUP):
         params, opt_states, values = trainer._train_step(params, opt_states, arrays)
-    jax.block_until_ready(values["total_loss"])
+    # force a real device->host fetch: on the tunneled axon platform,
+    # block_until_ready is NOT a reliable sync — float() is
+    float(values["total_loss"])
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         params, opt_states, values = trainer._train_step(params, opt_states, arrays)
-    jax.block_until_ready(values["total_loss"])
+    loss = float(values["total_loss"])
     dt = (time.perf_counter() - t0) / STEPS
+    assert loss == loss, "NaN loss in benchmark step"
     n_chips = jax.device_count()
     return BATCH / dt / n_chips
 

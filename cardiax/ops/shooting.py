@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from cardiax.ops.fluid_metric import sharp
 from cardiax.ops.warp import bilinear_warp, warp_vector_field
+from cardiax.ops.warp_pallas import bilinear_warp_banded
 
 
 def _grad_hw(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -64,15 +65,25 @@ def ad_star(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
 
 def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
                     power: int = 2, n_steps: int = 5,
+                    warp_radius: int | None = 8,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EPDiff shooting. Returns (u_inv, v0):
 
       u_inv (B, 2, H, W): displacement of the INVERSE map, phi^{-1} = id + u_inv
                           (deformed_source(x) = src(x + u_inv(x)));
       v0    (B, 2, H, W): initial velocity K m0 (for the metric-norm loss).
+
+    ``warp_radius``: band radius of the Pallas warp kernel on TPU (per-step
+    displacements are dt*v, far below the radius for any sane metric); None
+    forces the XLA-gather warp.
     """
     dt = 1.0 / n_steps
     v0 = sharp(m0, alpha, gamma, power)
+    # per-step displacement is dt*v (a fraction of a pixel for sane metrics):
+    # a small band radius suffices and cuts the tap loop ~4x
+    step_radius = min(4, warp_radius) if warp_radius is not None else None
+    wf = (lambda i, d: bilinear_warp_banded(i, d, radius=step_radius)) \
+        if warp_radius is not None else None
 
     def step(carry, _):
         m, u_inv = carry
@@ -81,7 +92,7 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
         # phi_inv_new(x) = phi_inv(x - dt v(x)) ; with phi_inv = id + u:
         # u_new(x) = -dt v(x) + u(x - dt v(x))
         back = -dt * v
-        u_inv_new = back + warp_vector_field(u_inv, back)
+        u_inv_new = back + warp_vector_field(u_inv, back, wf)
         m_new = m - dt * ad_star(v, m)
         return (m_new, u_inv_new), None
 
@@ -91,23 +102,36 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
     return u_inv, v0
 
 
-def expmap_svf(v: jnp.ndarray, n_squarings: int = 4) -> jnp.ndarray:
+def expmap_svf(v: jnp.ndarray, n_squarings: int = 4,
+               warp_radius: int | None = 8) -> jnp.ndarray:
     """Stationary-velocity scaling-and-squaring: displacement of exp(v).
 
     u <- v / 2^n ; repeat n times: u <- u(x) + u(x + u(x)).
     Returns displacement u with exp(v)(x) = x + u(x).
     """
     u = v / (2.0 ** n_squarings)
+    wf = (lambda i, d: bilinear_warp_banded(i, d, radius=warp_radius)) \
+        if warp_radius is not None else None
 
     def square(u, _):
-        return u + warp_vector_field(u, u), None
+        return u + warp_vector_field(u, u, wf), None
 
     u, _ = jax.lax.scan(jax.checkpoint(square), u, None, length=n_squarings)
     return u
 
 
-def deform_image(img: jnp.ndarray, u_inv: jnp.ndarray) -> jnp.ndarray:
-    """deformed(x) = img(x + u_inv(x)); img (B, C, H, W), u_inv (B, 2, H, W)."""
+def deform_image(img: jnp.ndarray, u_inv: jnp.ndarray,
+                 warp_radius: int | None = 8) -> jnp.ndarray:
+    """deformed(x) = img(x + u_inv(x)); img (B, C, H, W), u_inv (B, 2, H, W).
+
+    The final deformation can exceed the per-step band, so the image warp
+    uses a 2x radius band (clamped displacements beyond that are a mask
+    leaving/entering-frame situation the reference's clip handles the same).
+    """
     b, c, h, w = img.shape
-    out = jnp.stack([bilinear_warp(img[:, i], u_inv) for i in range(c)], axis=1)
+    if warp_radius is not None:
+        wf = lambda x, d: bilinear_warp_banded(x, d, radius=2 * warp_radius)
+    else:
+        wf = bilinear_warp
+    out = jnp.stack([wf(img[:, i], u_inv) for i in range(c)], axis=1)
     return out

@@ -71,16 +71,19 @@ def bilinear_warp(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(img.shape)
 
 
-def warp_vector_field(field: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+def warp_vector_field(field: jnp.ndarray, disp: jnp.ndarray,
+                      warp_fn=None) -> jnp.ndarray:
     """Warp each channel of a (..., C, H, W) field by the same (..., 2, H, W)
     displacement (used for composing deformations in shooting)."""
+    wf = warp_fn or bilinear_warp
     c = field.shape[-3]
     stacked = jnp.moveaxis(field, -3, 0)            # (C, ..., H, W)
-    out = jnp.stack([bilinear_warp(stacked[i], disp) for i in range(c)], axis=0)
+    out = jnp.stack([wf(stacked[i], disp) for i in range(c)], axis=0)
     return jnp.moveaxis(out, 0, -3)
 
 
-def compose_displacements(u_outer: jnp.ndarray, u_inner: jnp.ndarray) -> jnp.ndarray:
+def compose_displacements(u_outer: jnp.ndarray, u_inner: jnp.ndarray,
+                          warp_fn=None) -> jnp.ndarray:
     """Displacement of the composition (id + u_outer) o (id + u_inner):
     u(x) = u_inner(x) + u_outer(x + u_inner(x))."""
-    return u_inner + warp_vector_field(u_outer, u_inner)
+    return u_inner + warp_vector_field(u_outer, u_inner, warp_fn)

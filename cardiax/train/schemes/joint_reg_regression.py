@@ -66,14 +66,20 @@ class JointRegistrationRegressionScheme(Scheme):
         return x.reshape((s * p,) + x.shape[2:])
 
     def init_params(self, modules, rng, batch):
+        import jax
         rkey = self._rkey(modules)
+        sp = batch["source_img"].shape[:2]
         src = self._flatten_pairs(jnp.asarray(batch["source_img"]))
         tar = self._flatten_pairs(jnp.asarray(batch["target_img"]))
-        p_reg = modules[rkey].init(rng, src, tar)
-        out = modules[rkey].apply(p_reg, src, tar)
-        video = self._make_video(out["displacement"], batch["source_img"].shape[:2])
-        p_lma = modules["LMA"].init(rng, video)
-        return {rkey: p_reg, "LMA": p_lma}
+
+        def init_all(rng, src, tar):
+            p_reg = modules[rkey].init(rng, src, tar)
+            out = modules[rkey].apply(p_reg, src, tar)
+            video = self._make_video(out["displacement"], sp)
+            p_lma = modules["LMA"].init(rng, video)
+            return {rkey: p_reg, "LMA": p_lma}
+
+        return jax.jit(init_all)(rng, src, tar)
 
     def _make_video(self, disp_flat: jnp.ndarray, sp: Tuple[int, int]) -> jnp.ndarray:
         """(S*P, 2, H, W) -> (S, 2, F, H, W) zero-padded to n_video_frames

@@ -43,12 +43,17 @@ class JointRegisterStrainmatLMAScheme(Scheme):
         self.lma_threshold = float(trainer_config.get("LMA_threshold", 20))
 
     def init_params(self, modules, rng, batch):
+        import jax
         vol = jnp.asarray(batch["cine_myo_mask"])
-        src, tar = _lagrangian_pairs(vol)
-        p_joint = modules["joint_register_strainmat"].init(rng, src, tar)
-        out = modules["joint_register_strainmat"].apply(p_joint, src, tar)
-        p_lma = modules["LMA"].init(rng, out["strain_matrix"])
-        return {"joint_register_strainmat": p_joint, "LMA": p_lma}
+
+        def init_all(rng, vol):
+            src, tar = _lagrangian_pairs(vol)
+            p_joint = modules["joint_register_strainmat"].init(rng, src, tar)
+            out = modules["joint_register_strainmat"].apply(p_joint, src, tar)
+            p_lma = modules["LMA"].init(rng, out["strain_matrix"])
+            return {"joint_register_strainmat": p_joint, "LMA": p_lma}
+
+        return jax.jit(init_all)(rng, vol)
 
     def forward(self, modules, params, arrays, train: bool
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:

@@ -42,7 +42,9 @@ class LMAScheme(Scheme):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
         x = self._input(arrays)
-        return {"LMA": modules["LMA"].init(rng, x)}
+        # jit the init: eager init dispatches each op separately (minutes over
+        # a tunneled TPU); jitted it is one compile + one execution
+        return {"LMA": jax.jit(modules["LMA"].init)(rng, x)}
 
     def forward(self, modules, params, arrays, train: bool
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:

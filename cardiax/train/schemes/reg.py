@@ -50,7 +50,7 @@ class RegScheme(Scheme):
         key = self._key(modules)
         src = jnp.asarray(batch["source_img"])
         tar = jnp.asarray(batch["target_img"])
-        return {key: modules[key].init(rng, src, tar)}
+        return {key: jax.jit(modules[key].init)(rng, src, tar)}
 
     def forward(self, modules, params, arrays, train: bool
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:

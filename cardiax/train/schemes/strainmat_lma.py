@@ -31,11 +31,16 @@ class StrainMatLMAScheme(Scheme):
             }
 
     def init_params(self, modules, rng, batch):
+        import jax
         disp = jnp.asarray(batch["displacement_field"])
-        p_strain = modules["strain"].init(rng, disp)
-        strain_out = modules["strain"].apply(p_strain, disp)["strainmat"]
-        p_lma = modules["LMA"].init(rng, strain_out[:, None])
-        return {"strain": p_strain, "LMA": p_lma}
+
+        def init_all(rng, disp):
+            p_strain = modules["strain"].init(rng, disp)
+            strain_out = modules["strain"].apply(p_strain, disp)["strainmat"]
+            p_lma = modules["LMA"].init(rng, strain_out[:, None])
+            return {"strain": p_strain, "LMA": p_lma}
+
+        return jax.jit(init_all)(rng, disp)
 
     def forward(self, modules, params, arrays, train: bool
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:

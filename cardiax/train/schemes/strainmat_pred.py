@@ -37,7 +37,8 @@ class StrainMatPredScheme(Scheme):
     def init_params(self, modules, rng, batch):
         key = self._key(modules)
         disp = jnp.asarray(batch["displacement_field"])
-        return {key: modules[key].init(rng, disp)}
+        import jax
+        return {key: jax.jit(modules[key].init)(rng, disp)}
 
     def forward(self, modules, params, arrays, train: bool
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
