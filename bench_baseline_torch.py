@@ -190,8 +190,12 @@ def measure_torch_baseline(batch: int = 2, h: int = 128, w: int = 128,
         deformed = warp(src, u)
         video = u.reshape(batch, p, 2, h, w).transpose(1, 2)   # (B,2,P,H,W)
         strain = strain_head(video)[:, None]                    # (B,1,S,Ts)
-        # SVD smoothing (reference semantics: rank-5 denoise)
-        uu, ss, vv = torch.linalg.svd(strain.squeeze(1), full_matrices=False)
+        # SVD smoothing (reference semantics: rank-5 denoise).
+        # nan_to_num: this is a THROUGHPUT baseline on random data; the raw
+        # loss scales (1/sigma^2=1111, x1000 strain sup) can blow up within a
+        # few Adam steps, which is irrelevant to the timing being measured.
+        uu, ss, vv = torch.linalg.svd(torch.nan_to_num(strain.squeeze(1)),
+                                      full_matrices=False)
         ss = torch.cat([ss[..., :5], torch.zeros_like(ss[..., 5:])], -1)
         strain = (uu @ torch.diag_embed(ss) @ vv)[:, None]
         tos = lma(strain)
@@ -202,8 +206,9 @@ def measure_torch_baseline(batch: int = 2, h: int = 128, w: int = 128,
         loss = recon + reg + sup + tosl
         opt.zero_grad()
         loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, 1.0)
         opt.step()
-        return float(loss)
+        return float(loss.detach())
 
     step()  # warmup
     t0 = time.perf_counter()

@@ -4,8 +4,8 @@ Capability parity with reference modules/data/augmentation/{__init__,affine}.py:
 a grid of pixel translations (np.roll, +-<=10px) x in-plane rotations (multiples
 of 360/126 deg) applied consistently across modalities:
 
-  * image masks:       rotated with scipy.ndimage (skimage unavailable here),
-                       translated with np.roll;
+  * image masks:       rotated with the native C++ engine (cardiax/native;
+                       scipy.ndimage fallback), translated with np.roll;
   * displacement X/Y:  channels rotated as a vector field (component mixing);
   * strain matrix:     rotation == np.roll along the sector axis (the 126
                        sectors tile the angular direction);
@@ -64,21 +64,19 @@ def rotate(datum: Dict[str, Any], angle_deg: float,
     masks); sector-axis arrays circularly roll by angle/(360/n_sectors)
     sectors (reference affine.py:24-37, 73-79).
     """
+    from cardiax.native import rotate_stack
     out = copy.deepcopy(datum)
     for key in _IMAGE_KEYS:
         if key in out and isinstance(out[key], np.ndarray):
             arr = out[key]
-            rot = ndimage.rotate(arr, angle_deg, axes=(0, 1), reshape=False,
-                                 order=0, mode="constant", cval=0.0)
+            rot = rotate_stack(arr, angle_deg, order=0)
             out[key] = rot.astype(arr.dtype)
     # displacement fields: rotate the sampling grid AND the vector components
     for kx, ky in _DISP_PAIRS:
         if kx in out and ky in out and isinstance(out[kx], np.ndarray):
             dx, dy = out[kx], out[ky]
-            rx = ndimage.rotate(dx, angle_deg, axes=(0, 1), reshape=False,
-                                order=1, mode="constant", cval=0.0)
-            ry = ndimage.rotate(dy, angle_deg, axes=(0, 1), reshape=False,
-                                order=1, mode="constant", cval=0.0)
+            rx = rotate_stack(dx, angle_deg, order=1)
+            ry = rotate_stack(dy, angle_deg, order=1)
             th = np.deg2rad(angle_deg)
             c, s = np.cos(th), np.sin(th)
             out[kx] = (c * rx - s * ry).astype(dx.dtype)

@@ -46,3 +46,49 @@ def save_trained_models(saving_dir: str | Path, models: Dict[str, Any],
 def load_model_params(path: str | Path, template: Any) -> Any:
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def save_model(bundle: Any, path_stem: str | Path, method: str = "state_dict",
+               example_args: tuple | None = None) -> Path:
+    """Multi-format single-model export (reference ``save_model``'s four
+    formats, joint_registration_regression_trainer.py:1016-1067, re-mapped to
+    the JAX ecosystem):
+
+      * ``state_dict``          -> flax msgpack params            (.msgpack)
+      * ``jit``                 -> jax.export serialized StableHLO (.stablehlo)
+                                   — the torch.jit-script analog: a
+                                   self-contained compiled artifact;
+      * ``onnx``                -> also StableHLO (ONNX export has no JAX
+                                   path in this image; StableHLO is the
+                                   portable-IR equivalent);
+      * ``model_zip_state_dict``-> zip of the model's python source package
+                                   + msgpack params               (.zip)
+    """
+    import zipfile
+    path_stem = Path(path_stem)
+    path_stem.parent.mkdir(parents=True, exist_ok=True)
+    if method == "state_dict":
+        out = path_stem.with_suffix(".msgpack")
+        with open(out, "wb") as f:
+            f.write(serialization.to_bytes(bundle.params))
+        return out
+    if method in ("jit", "onnx"):
+        import jax
+        from jax import export as jax_export
+        assert example_args is not None, "jit export needs example_args"
+        fn = lambda *a: bundle.module.apply(bundle.params, *a)
+        exported = jax_export.export(jax.jit(fn))(*example_args)
+        out = path_stem.with_suffix(".stablehlo")
+        with open(out, "wb") as f:
+            f.write(exported.serialize())
+        return out
+    if method == "model_zip_state_dict":
+        import cardiax
+        out = path_stem.with_suffix(".zip")
+        pkg_dir = Path(cardiax.__file__).parent
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                z.write(py, Path("cardiax") / py.relative_to(pkg_dir))
+            z.writestr("params.msgpack", serialization.to_bytes(bundle.params))
+        return out
+    raise ValueError(f"Unknown save method {method!r}")

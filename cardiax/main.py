@@ -53,18 +53,50 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
 
     # 5. train
     inference_only = config["training"].get("inference_only", False)
+    saving = config.get("saving", {})
     tracker = None
     if not inference_only:
-        trained_models, tracker = trainer.train(
-            models=networks, datasets=datasets,
-            trainer_config=config["training"], full_config=config,
-            use_wandb=config.get("others", {}).get("use_wandb", False))
+        try:
+            trained_models, tracker = trainer.train(
+                models=networks, datasets=datasets,
+                trainer_config=config["training"], full_config=config,
+                use_wandb=config.get("others", {}).get("use_wandb", False))
+        except KeyboardInterrupt:
+            # save_KeyboardInterrupt: persist whatever was learned before the
+            # interrupt (the reference declares this flag but never reads it —
+            # configs/config.json:206, SURVEY.md 5.3)
+            if saving.get("save_KeyboardInterrupt", True):
+                from cardiax.io.export import save_trained_models
+                sd = Path(saving.get("saving_dir", "./test_results"))
+                if trainer.params is not None:
+                    for name, bundle in networks.items():
+                        bundle.params = trainer.params.get(name)
+                save_trained_models(sd / "interrupted", networks, config)
+                print(f"KeyboardInterrupt: models saved to {sd / 'interrupted'}")
+            raise
+        trained_models = {f"{k}_model": v for k, v in networks.items()}
     else:
+        # inference-only: init a template then load persisted params over it
+        # (the reference's load path is effectively absent — SURVEY.md 5.4)
+        from cardiax.io.export import load_model_params
+        sd = Path(saving.get("saving_dir", "./test_results"))
+        eval_name = "test" if "test" in datasets else next(iter(datasets))
+        example = next(iter(trainer.scheme.make_loader(
+            datasets[eval_name], int(config["training"].get("batch_size", 10)),
+            shuffle=False)))
+        trainer.setup(networks, example, steps_per_epoch=1,
+                      seed=int(config["training"].get("seed", 2434)))
+        for name, bundle in networks.items():
+            mp = sd / f"model-{name}.msgpack"
+            if mp.exists():
+                loaded = load_model_params(mp, trainer.params[name])
+                trainer.params[name] = loaded
+                bundle.params = loaded
+                print(f"loaded params for {name} from {mp}")
         trained_models = {f"{k}_model": v for k, v in networks.items()}
 
     # 6. inference
     results: Dict[str, Any] = {"models": trained_models}
-    saving = config.get("saving", {})
     saving_dir = Path(saving.get("saving_dir", "./test_results"))
     for target in ("val", "test"):
         if target not in datasets or len(datasets[target]) == 0:

@@ -106,6 +106,34 @@ class Scheme:
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         raise NotImplementedError
 
+    # ---- visualization ------------------------------------------------------ #
+    def visualize(self, batch: Dict[str, Any], preds_np: Dict[str, Any],
+                  out_path) -> Optional[str]:
+        """Periodic training-time figure (reference wandb_visualize_interval
+        semantics, SURVEY.md 2.9/5.5): strain matrix + GT/pred TOS overlay
+        when available, else None. Returns the saved path."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from cardiax.plot.strainmat import visualize_strainmat_with_TOS
+        strain = None
+        for key in ("strain_matrix", "strain_mat", "strainmat"):
+            if key in batch and hasattr(batch[key], "ndim"):
+                strain = np.asarray(batch[key][0])
+                break
+            if key in preds_np and hasattr(preds_np[key], "ndim"):
+                strain = np.asarray(preds_np[key][0])
+                break
+        if strain is None or "TOS" not in batch:
+            return None
+        tos_gt = np.asarray(batch["TOS"][0])
+        tos_pred = np.asarray(preds_np["TOS"][0]) if "TOS" in preds_np else None
+        fig, _ = visualize_strainmat_with_TOS(strain, tos_gt=tos_gt,
+                                              tos_pred=tos_pred)
+        fig.savefig(out_path, dpi=90)
+        plt.close(fig)
+        return str(out_path)
+
     # ---- metrics ----------------------------------------------------------- #
     def performance(self, preds: List[Dict[str, Any]], dataset_name: str) -> Dict[str, float]:
         """Default: TOS sector error + classification metrics when present
@@ -274,6 +302,13 @@ class TrainerEngine:
         best_epoch_metrics: Dict[str, float] = {}
         t_start = time.perf_counter()
 
+        # ---- periodic visualization interval (reference others.
+        # wandb_visualize_interval = fraction of total epochs) ----
+        vis_interval = self.full_config.get("others", {}).get(
+            "wandb_visualize_interval", 0)
+        vis_every = max(1, int(float(vis_interval) * epochs)) if vis_interval \
+            and self.full_config.get("saving", {}).get("saving_dir") else 0
+
         # ---- optional profiler trace of the first few steps (SURVEY.md 5.1:
         # the reference has no tracing; jax.profiler makes it near-free) ----
         profile_dir = self.full_config.get("others", {}).get("profile_dir")
@@ -321,6 +356,23 @@ class TrainerEngine:
                 epoch_total_val = epoch_metrics.get(f"{prefix}val/total_loss")
 
             tracker.log(epoch_metrics, step=epoch)
+
+            # ---- periodic visualization (fraction-of-epochs interval) ----
+            if vis_every and epoch % vis_every == 0 and val_loader is not None:
+                try:
+                    vb = next(iter(val_loader))
+                    va = shard_batch(vb, self.mesh)
+                    va = {k: v for k, v in va.items() if isinstance(v, jax.Array)}
+                    _, vpred = self._eval_step(self.params, va)
+                    vpred_np = jax.tree_util.tree_map(np.asarray, vpred)
+                    fig_dir = Path(self.full_config.get("saving", {}).get(
+                        "saving_dir", ".")) / "figures"
+                    fig_dir.mkdir(parents=True, exist_ok=True)
+                    self.scheme.visualize(vb, vpred_np,
+                                          fig_dir / f"epoch_{epoch:04d}.png")
+                except Exception:
+                    pass   # visualization must never kill training
+
             if ckpt is not None:
                 ckpt.save(epoch, self.params, self.opt_states,
                           extra={"epoch": epoch, "best_val": best_val})
