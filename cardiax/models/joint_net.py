@@ -56,6 +56,31 @@ class JointRegisterStrainMatNet(nn.Module):
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         return self.forward_volume(src_vol, tar_vol, train)
 
+    def _analytic_strain(self, disp_video: jnp.ndarray,
+                         mask0: jnp.ndarray) -> jnp.ndarray:
+        """Physics path (strainmat_net_type='analytic'): Green-Lagrange
+        circumferential strain assembled on-device from the predicted
+        Lagrangian displacements (cardiax.ops.strain) — the BASELINE.json
+        north-star fused pipeline; no learned strain head.
+
+        disp_video (B, P, 2, H, W); mask0 (B, H, W). Returns (B, S, Ts) via a
+        fixed linear temporal resample from P pair-frames to Ts strain frames.
+        """
+        from cardiax.ops.strain import strain_matrix_from_displacements
+        b, p = disp_video.shape[:2]
+        disp = jnp.moveaxis(disp_video, 1, 2)                 # (B, 2, P, H, W)
+        strain_p = strain_matrix_from_displacements(
+            disp, mask0, self.n_sectors)                       # (B, S, P)
+        ts = self.n_strain_matrix_frames
+        # static (P, Ts) linear-interpolation matrix: frame 0 of the strain
+        # matrix is the (zero-strain) reference frame, pairs cover 1..P
+        src_pos = jnp.arange(1, p + 1, dtype=jnp.float32)
+        dst_pos = jnp.linspace(0.0, float(p), ts)
+        d = jnp.abs(dst_pos[None, :] - src_pos[:, None])
+        m = jnp.clip(1.0 - d, 0.0, 1.0)                        # hat weights
+        m = m / jnp.maximum(m.sum(axis=0, keepdims=True), 1e-6)
+        return strain_p @ m                                    # (B, S, Ts)
+
     def forward_volume(self, src_vol: jnp.ndarray, tar_vol: jnp.ndarray,
                        train: bool = False) -> Dict[str, jnp.ndarray]:
         b, c, p, h, w = src_vol.shape
@@ -73,10 +98,14 @@ class JointRegisterStrainMatNet(nn.Module):
 
         # 2. regroup displacements into a motion video for the strain head
         disp_video = u_inv.reshape(b, p, 2, h, w)
-        video = jnp.moveaxis(disp_video, 2, -1)               # (B, P, H, W, 2)
-        strain = ResNet3DStrainHead(
-            self.n_sectors, self.strain_features,
-            out_frames=self.n_strain_matrix_frames, name="strain_head")(video)
+        if self.strainmat_net_type == "analytic":
+            mask0 = src_vol[:, 0, 0]                          # shared frame 0
+            strain = self._analytic_strain(disp_video, mask0)
+        else:                                                  # "ResNet3D"
+            video = jnp.moveaxis(disp_video, 2, -1)           # (B, P, H, W, 2)
+            strain = ResNet3DStrainHead(
+                self.n_sectors, self.strain_features,
+                out_frames=self.n_strain_matrix_frames, name="strain_head")(video)
 
         # 3. on-device low-rank smoothing of the predicted strain matrix
         if self.strainmat_smoothing_method == "SVD":

@@ -164,6 +164,57 @@ def _transpose_kernel(g_ref, dy_ref, dx_ref, out_ref, *, radius: int):
     out_ref[:] = acc
 
 
+def _fused_bwd_kernel(img_ref, dy_ref, dx_ref, g_ref,
+                      gimg_ref, gdy_ref, gdx_ref, *, radius: int):
+    """All three gradients in ONE tap sweep (shares the shifted-image rolls
+    across the value/ddy/ddx weight variants; the transpose contribution is
+    accumulated per-e like `_transpose_kernel`). Only used when the unrolled
+    program fits Mosaic's scoped-VMEM budget; otherwise the three separate
+    kernels run."""
+    h, w = img_ref.shape
+    img = img_ref[:]
+    g = g_ref[:]
+    ii, jj, y0, y1, fy, x0, x1, fx, my, mx = _coords(
+        dy_ref[:], dx_ref[:], h, w, radius)
+    acc_dy = jnp.zeros((h, w), jnp.float32)
+    acc_dx = jnp.zeros((h, w), jnp.float32)
+    acc_gi = jnp.zeros((h, w), jnp.float32)
+    for e in range(-radius, radius + 1):
+        rx = jj + e
+        wx = _hat(rx, x0, x1, fx)
+        dwx = _dhat(rx, x0, x1)
+        s = _shifted(img, 0, e)
+        a_e = g * wx
+        b_e = jnp.zeros((h, w), jnp.float32)
+        for d in range(-radius, radius + 1):
+            ry = ii + d
+            wy = _hat(ry, y0, y1, fy)
+            dwy = _dhat(ry, y0, y1)
+            sh = _shifted(s, d, 0)
+            acc_dy = acc_dy + (dwy * wx) * sh
+            acc_dx = acc_dx + (wy * dwx) * sh
+            b_e = b_e + _shifted(wy * a_e, -d, 0)
+        acc_gi = acc_gi + _shifted(b_e, 0, -e)
+    gimg_ref[:] = acc_gi
+    gdy_ref[:] = acc_dy * my * g
+    gdx_ref[:] = acc_dx * mx * g
+
+
+def _run_fused_bwd(args, radius: int, interpret: bool):
+    n, h, w = args[0].shape
+    kern = functools.partial(_fused_bwd_kernel, radius=radius)
+    spec = pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((n, h, w), jnp.float32),) * 3,
+        interpret=interpret,
+    )(*args)
+
+
 def _run(kernel, args, radius: int, interpret: bool, **kw):
     n, h, w = args[0].shape
     kern = functools.partial(kernel, radius=radius, **kw)
@@ -196,11 +247,15 @@ def _banded_bwd(radius, interpret, res, g):
     img, disp = res
     f32 = jnp.float32
     args = (img.astype(f32), disp[:, 0].astype(f32), disp[:, 1].astype(f32))
-    ddy = _run(_tap_kernel, args, radius, interpret, mode="ddy")
-    ddx = _run(_tap_kernel, args, radius, interpret, mode="ddx")
     g32 = g.astype(f32)
-    g_img = _run(_transpose_kernel, (g32, args[1], args[2]), radius, interpret)
-    g_disp = jnp.stack([g32 * ddy, g32 * ddx], axis=1)
+    if (2 * radius + 1) ** 2 <= _UNROLL_TAP_LIMIT:
+        g_img, g_dy, g_dx = _run_fused_bwd(args + (g32,), radius, interpret)
+        g_disp = jnp.stack([g_dy, g_dx], axis=1)
+    else:
+        ddy = _run(_tap_kernel, args, radius, interpret, mode="ddy")
+        ddx = _run(_tap_kernel, args, radius, interpret, mode="ddx")
+        g_img = _run(_transpose_kernel, (g32, args[1], args[2]), radius, interpret)
+        g_disp = jnp.stack([g32 * ddy, g32 * ddx], axis=1)
     return g_img.astype(img.dtype), g_disp.astype(disp.dtype)
 
 

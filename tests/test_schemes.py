@@ -185,3 +185,35 @@ def test_joint_registration_regression_scheme():
     p = preds[0]
     assert p["TOS_pred"].shape == (NSEC,)
     assert np.isfinite(perf["final-val/sector_error"])
+
+
+def test_joint_analytic_strain_path():
+    """strainmat_net_type='analytic': strain assembled by the physics op
+    (north-star fused pipeline) instead of the learned head."""
+    import jax
+    import jax.numpy as jnp
+    from cardiax.models import build_model
+
+    data = _slice_data(n_subjects=2)
+    vol = np.stack([d["cine_lv_myo_masks"] for d in data])       # (B, H, W, T)
+    vol = np.moveaxis(vol, -1, 1)[:, None]                        # (B, 1, T, H, W)
+    src = np.broadcast_to(vol[:, :, :1], vol[:, :, :-1].shape).copy()
+    tar = vol[:, :, 1:]
+
+    bundle = build_model({"type": "JointRegisterStrainMatNet",
+                          "strainmat_net_type": "analytic",
+                          "n_strain_matrix_frames": 12, "reg_features": 8,
+                          "n_integration_steps": 2})
+    params = jax.jit(bundle.module.init)(jax.random.PRNGKey(0),
+                                         jnp.asarray(src), jnp.asarray(tar))
+    out = jax.jit(lambda p, s, t: bundle.module.apply(p, s, t))(
+        params, jnp.asarray(src), jnp.asarray(tar))
+    assert out["strain_matrix"].shape == (2, 1, NSEC, 12)
+    assert np.isfinite(np.asarray(out["strain_matrix"])).all()
+    # zero-init momentum head => zero displacement => zero strain at init
+    assert float(jnp.abs(out["strain_matrix"]).max()) < 1e-5
+    # and the path is differentiable end-to-end
+    g = jax.grad(lambda p: jnp.sum(bundle.module.apply(
+        p, jnp.asarray(src), jnp.asarray(tar))["strain_matrix"] ** 2))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
