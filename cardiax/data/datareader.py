@@ -419,3 +419,21 @@ class DENSEDataReader:
         if cfg.get("resize", False):
             data = _resize_slice_images(data, int(cfg.get("resize_size", 128)))
         return data
+
+
+
+class BaseDataReader:
+    """Format dispatch: npy / table / dir (reference BaseDataReader.py:1-27).
+    Only npy is implemented (the reference's other branches are abstract)."""
+
+    def load_record(self, filename: str, data_config=None):
+        fmt = (data_config or {}).get("format", "npy")
+        if fmt == "npy":
+            return DENSEDataReader().load_record_from_npy(filename, data_config)
+        raise NotImplementedError(f"format {fmt!r} not supported (npy only)")
+
+
+class DENSECINEDataReader(DENSEDataReader):
+    """Earlier cine-variant reader (reference DENSE_cine_IO.py:15-180): same
+    loading pipeline with the interpolated-mask key conventions; kept as an
+    alias configured via ``interpolated_cine_key`` etc."""
