@@ -49,6 +49,7 @@ class JointRegisterStrainMatNet(nn.Module):
     gamma: float = 1.0
     fluid_power: int = 2
     n_integration_steps: int = 5
+    shoot_downsample: int = 1
     strain_features: int = 16
 
     @nn.compact
@@ -93,7 +94,8 @@ class JointRegisterStrainMatNet(nn.Module):
         m0 = jnp.moveaxis(m0, -1, 1)                          # (B*P, 2, H, W)
         u_inv, v0 = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
-            n_steps=self.n_integration_steps)
+            n_steps=self.n_integration_steps,
+            shoot_downsample=self.shoot_downsample)
         deformed = deform_image(src, u_inv)                   # (B*P, 1, H, W)
 
         # 2. regroup displacements into a motion video for the strain head

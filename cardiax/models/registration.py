@@ -39,6 +39,7 @@ class RegistrationNet(nn.Module):
     gamma: float = 1.0
     fluid_power: int = 2
     n_integration_steps: int = 5
+    shoot_downsample: int = 1
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tar: jnp.ndarray,
@@ -49,7 +50,8 @@ class RegistrationNet(nn.Module):
         m0 = jnp.moveaxis(m0, -1, 1)                      # (B, 2, H, W)
         u_inv, v0 = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
-            n_steps=self.n_integration_steps)
+            n_steps=self.n_integration_steps,
+            shoot_downsample=self.shoot_downsample)
         deformed = deform_image(src, u_inv)
         return {
             "displacement": u_inv,

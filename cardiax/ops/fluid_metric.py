@@ -76,3 +76,26 @@ class FluidMetric:
 
     def flat(self, v: jnp.ndarray) -> jnp.ndarray:
         return flat(v, self.alpha, self.gamma, self.power)
+
+
+def spectral_resize(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Band-limited resampling of (..., H, W) fields via rfft2 crop/pad.
+
+    Value-preserving for signals within the target band (constant -> same
+    constant; smooth fields interpolate spectrally). Used by the band-limited
+    shooting mode: the fluid metric makes velocities low-frequency, so EPDiff
+    can integrate on a small grid (FLASH-style band-limited LDDMM — see
+    PAPERS.md: band-limited vector field parameterization) and resample back.
+    """
+    h, w = x.shape[-2:]
+    h2, w2 = out_hw
+    f = jnp.fft.rfft2(x.astype(jnp.float32))
+    wf2 = w2 // 2 + 1
+    ky = min(h, h2) // 2
+    out = jnp.zeros(x.shape[:-2] + (h2, wf2), f.dtype)
+    # copy the low-frequency block (positive and negative row freqs)
+    kx = min(f.shape[-1], wf2)
+    out = out.at[..., :ky, :kx].set(f[..., :ky, :kx])
+    out = out.at[..., -ky:, :kx].set(f[..., -ky:, :kx])
+    y = jnp.fft.irfft2(out, s=(h2, w2))
+    return y * (h2 * w2) / (h * w)

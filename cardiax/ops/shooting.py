@@ -23,7 +23,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from cardiax.ops.fluid_metric import sharp
+from cardiax.ops.fluid_metric import sharp, spectral_resize
 from cardiax.ops.warp import bilinear_warp, warp_vector_field
 from cardiax.ops.warp_pallas import bilinear_warp_banded
 
@@ -66,6 +66,7 @@ def ad_star(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
 def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
                     power: int = 2, n_steps: int = 5,
                     warp_radius: int | None = 8,
+                    shoot_downsample: int = 1,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EPDiff shooting. Returns (u_inv, v0):
 
@@ -77,6 +78,31 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
     displacements are dt*v, far below the radius for any sane metric); None
     forces the XLA-gather warp.
     """
+    if shoot_downsample > 1:
+        # FLASH-style band-limited shooting: the metric K kills frequencies
+        # beyond ~sqrt(gamma/alpha), so velocity (and hence the deformation)
+        # lives on a much smaller grid. Integrate EPDiff there and resample
+        # the displacement back; returns full-res (u_inv, v0). alpha rescales
+        # by ds^2 so the discrete Laplacian matches the same physical operator
+        # (lambda_low(k) ~= ds^2 lambda_full(k) in the shared band); velocity
+        # in low-res grid units = v_phys / ds, and the final displacement
+        # upsamples and multiplies by ds back to full pixels.
+        # Grid-unit bookkeeping: spectral_resize preserves VALUES, and with
+        # alpha/ds^2 the metric matches the same physical operator, so
+        # v_low = K m_low keeps physical (full-pixel) units. Dividing m by ds
+        # puts velocity in LOW-GRID units (EPDiff is invariant under this
+        # co-scaling of (v, m) with grid-unit derivatives); the integrated
+        # displacement comes back in low-grid units and scales by ds.
+        ds = int(shoot_downsample)
+        h, w = m0.shape[-2:]
+        v0 = sharp(m0, alpha, gamma, power)
+        m_low = spectral_resize(m0, (h // ds, w // ds)) / ds
+        u_low, _ = expmap_shooting(
+            m_low, alpha=alpha / (ds * ds), gamma=gamma, power=power,
+            n_steps=n_steps, warp_radius=warp_radius, shoot_downsample=1)
+        u_inv = spectral_resize(u_low, (h, w)) * ds
+        return u_inv, v0
+
     dt = 1.0 / n_steps
     v0 = sharp(m0, alpha, gamma, power)
     # per-step displacement is dt*v (a fraction of a pixel for sane metrics):

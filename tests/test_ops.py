@@ -253,3 +253,40 @@ class TestBandedWarpKernel:
         u_gather, _ = expmap_shooting(m0, n_steps=3, warp_radius=None)
         np.testing.assert_allclose(np.asarray(u_banded), np.asarray(u_gather),
                                    atol=1e-5)
+
+
+class TestSpectralResize:
+    def test_constant_preserved(self):
+        from cardiax.ops.fluid_metric import spectral_resize
+        x = jnp.full((2, 64, 64), 3.25)
+        y = spectral_resize(x, (16, 16))
+        np.testing.assert_allclose(np.asarray(y), 3.25, atol=1e-5)
+        z = spectral_resize(y, (64, 64))
+        np.testing.assert_allclose(np.asarray(z), 3.25, atol=1e-5)
+
+    def test_smooth_field_roundtrip(self):
+        from cardiax.ops.fluid_metric import spectral_resize
+        yy, xx = np.mgrid[0:64, 0:64] / 64.0
+        f = (np.sin(2 * np.pi * 2 * yy) * np.cos(2 * np.pi * 3 * xx)
+             ).astype(np.float32)[None]
+        down = spectral_resize(jnp.asarray(f), (16, 16))
+        up = spectral_resize(down, (64, 64))
+        np.testing.assert_allclose(np.asarray(up), f, atol=1e-4)
+
+    def test_bandlimited_shooting_close_to_fullres(self):
+        from cardiax.ops.shooting import expmap_shooting
+        rng = np.random.default_rng(4)
+        m0 = ndimage.gaussian_filter(rng.normal(size=(1, 2, 64, 64)), 6.0)
+        m0 = jnp.asarray(m0.astype(np.float32) * 60.0)
+        u_full, v_full = expmap_shooting(m0, n_steps=4, warp_radius=None)
+        u_band, v_band = expmap_shooting(m0, n_steps=4, warp_radius=None,
+                                         shoot_downsample=2)
+        np.testing.assert_allclose(np.asarray(v_band), np.asarray(v_full),
+                                   atol=1e-5)   # v0 stays full-res
+        # band-limited shooting is an approximation (the network trains
+        # against its own operator); demand close agreement in RMS for a
+        # non-trivial (several-pixel) deformation
+        rel_rms = float(jnp.sqrt(jnp.mean((u_band - u_full) ** 2))
+                        / jnp.sqrt(jnp.mean(u_full ** 2)))
+        assert rel_rms < 0.15, f"band-limited displacement RMS dev {rel_rms:.3f}"
+        assert float(jnp.abs(u_full).max()) > 1.0  # deformation non-trivial
