@@ -16,7 +16,6 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -36,10 +35,6 @@ BASELINE_CACHE = REPO / "bench_baseline.json"
 
 def _measure_cardiax() -> float:
     import jax
-    import numpy as np
-    from cardiax.data.datasets import build_datasets
-    from cardiax.data.loader import Batcher
-    from cardiax.data.synthetic import make_dataset
     from cardiax.models import build_model
     from cardiax.parallel.mesh import get_mesh, shard_batch
     from cardiax.train import build_trainer

@@ -23,7 +23,6 @@ import copy
 from typing import Any, Dict, List
 
 import numpy as np
-from scipy import ndimage
 
 N_SECTORS_DEFAULT = 126
 

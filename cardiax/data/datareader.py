@@ -26,8 +26,7 @@ accepted here).
 
 from __future__ import annotations
 
-import copy
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 from scipy import ndimage

@@ -16,7 +16,7 @@ SliceDataLoader + custom_collate_fn (slice_dataloader.py:18-104):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, List, Sequence
+from typing import Any, Dict, Iterator, Sequence
 
 import numpy as np
 

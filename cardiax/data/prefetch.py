@@ -11,9 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Dict, Iterator, Optional
-
-import jax
+from typing import Any, Dict, Iterator
 
 from cardiax.parallel.mesh import shard_batch
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-import numpy as np
-
 
 class CheckpointManager:
     """Thin wrapper over orbax's CheckpointManager for the engine's state."""

@@ -13,8 +13,6 @@ from __future__ import annotations
 import json
 from typing import Any, Dict, List, Sequence
 
-import numpy as np
-
 from cardiax.data import load_data
 from cardiax.data.datasets import build_datasets
 from cardiax.data.split import SplitManager, split_data

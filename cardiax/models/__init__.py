@@ -14,8 +14,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Dict, Optional
 
-import jax
-
 from cardiax.models.lma_net import NetDisplacement2LMA, NetStrainMat2LMA
 
 

@@ -23,7 +23,7 @@ Also provides ``NetDisplacement2LMA`` for the displacement-video LMA modality
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -94,9 +94,10 @@ class NetDisplacement2LMA(nn.Module):
     """Displacement-video -> LMA head (reference LMA/displacement modality,
     LMA_trainer.py:184-193 and joint_registration_regression_trainer.py:293).
 
-    Input (B, 2, T, H, W) or (B, 2, H, W, T); internally NDHWC 3D convs with
-    stride-2 spatial downsampling (MXU-friendly), then an angular-sector
-    projection to the (S,) axis and the same task heads as NetStrainMat2LMA.
+    Input (B, 2, T, H, W) or (B, 2, H, W, T); internally folded-2D
+    spatiotemporal blocks with stride-2 spatial downsampling (MXU-friendly),
+    then a projection to the sector axis and the same task heads as
+    NetStrainMat2LMA.
     """
     LMA_task: str = "TOS_regression"
     n_sectors: int = 126

@@ -29,7 +29,6 @@ from flax import linen as nn
 
 from cardiax.models.unet import MomentumUNet
 from cardiax.ops.shooting import deform_image, expmap_shooting
-from cardiax.ops.warp import bilinear_warp
 
 
 class RegistrationNet(nn.Module):

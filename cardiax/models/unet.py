@@ -10,8 +10,6 @@ SURVEY.md section 7.3).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -14,8 +14,6 @@ and differentiable; under jit XLA hoists the (H, W//2+1) kernel to a constant.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -35,7 +35,6 @@ Reference capability replaced: lagomorph's CUDA `interp` (SURVEY.md 2.12).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -4,8 +4,6 @@ joint_registration_regression_trainer.py:884-1014)."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 
 

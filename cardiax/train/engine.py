@@ -19,10 +19,9 @@ TPU-first design:
 
 from __future__ import annotations
 
-import copy
 import time
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,7 @@ import optax
 from cardiax.data.loader import Batcher
 from cardiax.io.metrics import MetricsTracker
 from cardiax.losses.calculator import LossCalculator
-from cardiax.losses.metrics import classification_metrics, tos_sector_error
+from cardiax.losses.metrics import classification_metrics
 from cardiax.parallel.mesh import get_mesh, replicate, shard_batch
 
 

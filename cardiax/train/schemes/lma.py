@@ -10,7 +10,7 @@ LMA_slice_classification / LMA_sector_classification (:229-248).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
