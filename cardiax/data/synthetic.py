@@ -122,3 +122,39 @@ def make_registration_pairs(data: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
                 pair["DENSE_displacement_field_Y"] = d["displacement_field_Y"][:, :, f]
             pairs.append(pair)
     return pairs
+
+
+def main(argv=None):
+    """CLI: generate a synthetic clinical-contract npy.
+
+    python -m cardiax.data.synthetic --out data/slices.npy --subjects 10 \
+        --slices 3 --size 64 --frames 16 [--displacements]
+    """
+    import argparse
+    p = argparse.ArgumentParser(description="synthetic cine-CMR npy generator")
+    p.add_argument("--out", default="data/slices.npy")
+    p.add_argument("--subjects", type=int, default=10)
+    p.add_argument("--slices", type=int, default=3)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--displacements", action="store_true",
+                   help="attach synthetic DENSE displacement fields")
+    p.add_argument("--pairs", action="store_true",
+                   help="write per-frame-pair dicts (BasicRegistrationDataset)")
+    args = p.parse_args(argv)
+    data = make_dataset(n_subjects=args.subjects, slices_per_subject=args.slices,
+                        h=args.size, w=args.size, n_frames=args.frames,
+                        seed=args.seed)
+    if args.displacements or args.pairs:
+        data = add_displacement_fields(data, seed=args.seed)
+    if args.pairs:
+        data = make_registration_pairs(data)
+    import os
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_npy(args.out, data)
+    print(f"wrote {len(data)} slices to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
