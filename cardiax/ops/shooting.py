@@ -67,6 +67,7 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
                     power: int = 2, n_steps: int = 5,
                     warp_radius: int | None = 8,
                     shoot_downsample: int = 1,
+                    remat: bool = False,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """EPDiff shooting. Returns (u_inv, v0):
 
@@ -122,7 +123,11 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
         m_new = m - dt * ad_star(v, m)
         return (m_new, u_inv_new), None
 
-    step = jax.checkpoint(step)
+    if remat:
+        # O(1)-in-steps autodiff memory at the cost of a forward recompute in
+        # the backward pass (~20% slower grad at flagship scale; useful for
+        # very large fields). Activations at default scales fit HBM easily.
+        step = jax.checkpoint(step)
     init = (m0, jnp.zeros_like(m0))
     (m_final, u_inv), _ = jax.lax.scan(step, init, None, length=n_steps)
     return u_inv, v0
