@@ -20,8 +20,6 @@ from typing import Any, Dict, Iterator, Sequence
 
 import numpy as np
 
-ARRAY_KEYS_ONLY = "__arrays__"
-
 
 def collate(items: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack array fields; keep non-arrays as lists (reference

@@ -256,6 +256,9 @@ class TrainerEngine:
         test_as_val = bool(cfg.get("test_as_val", False))
 
         train_ds = datasets["train"]
+        if len(train_ds) == 0:
+            raise ValueError("train dataset is empty — check split patterns "
+                             "against the data's subject ids")
         val_name = "test" if test_as_val and "test" in datasets else "val"
         val_ds = datasets.get(val_name)
 
