@@ -89,6 +89,7 @@ def _build_joint_register_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
         n_strain_matrix_frames=int(cfg.get("n_strain_matrix_frames", 40)),
         strainmat_smoothing_method=cfg.get("strainmat_smoothing_method", "SVD"),
         strainmat_smoothing_SVD_rank=int(cfg.get("strainmat_smoothing_SVD_rank", 5)),
+        strainmat_smoothing_iters=int(cfg.get("strainmat_smoothing_iters", 4)),
         n_sectors=int(cfg.get("n_sectors", 126)),
         reg_features=int(cfg.get("reg_features", 16)),
         alpha=float(cfg.get("alpha", 2.0)),

@@ -42,6 +42,7 @@ class JointRegisterStrainMatNet(nn.Module):
     n_strain_matrix_frames: int = 40
     strainmat_smoothing_method: str = "SVD"
     strainmat_smoothing_SVD_rank: int = 5
+    strainmat_smoothing_iters: int = 4
     n_sectors: int = 126
     reg_features: int = 16
     reg_levels: int = 3
@@ -111,7 +112,8 @@ class JointRegisterStrainMatNet(nn.Module):
 
         # 3. on-device low-rank smoothing of the predicted strain matrix
         if self.strainmat_smoothing_method == "SVD":
-            strain = subspace_denoise(strain, self.strainmat_smoothing_SVD_rank)
+            strain = subspace_denoise(strain, self.strainmat_smoothing_SVD_rank,
+                                      n_iters=self.strainmat_smoothing_iters)
 
         return {
             "strain_matrix": strain[:, None],                 # (B, 1, S, Ts)

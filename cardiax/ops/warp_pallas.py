@@ -42,6 +42,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_RADIUS = 8
+# one (H, W) f32 block x ~6 live buffers must fit VMEM (~16 MB/core);
+# beyond this the XLA-gather fallback handles it (tiled kernel: round 2)
+_MAX_VMEM_PIXELS = 512 * 512
 # fully-unrolled tap loops beyond this overflow Mosaic's scoped-VMEM stack
 _UNROLL_TAP_LIMIT = 400
 
@@ -271,7 +274,8 @@ def bilinear_warp_banded(img: jnp.ndarray, disp: jnp.ndarray,
     interpreter mode when forced, else the XLA-gather fallback.
     """
     if interpret is None:
-        if jax.default_backend() != "tpu":
+        h, w = img.shape[-2:]
+        if jax.default_backend() != "tpu" or h * w > _MAX_VMEM_PIXELS:
             from cardiax.ops.warp import bilinear_warp
             return bilinear_warp(img, disp)
         interpret = False

@@ -299,6 +299,7 @@ class TrainerEngine:
         # snapshots must be real copies, not aliases of soon-invalidated buffers
         best_params = jax.tree_util.tree_map(jnp.copy, self.params)
         best_epoch = -1
+        history: List[Dict[str, float]] = []
         epochs_without_improvement = 0
         prefix = self.metric_prefix
         best_epoch_metrics: Dict[str, float] = {}
@@ -358,6 +359,7 @@ class TrainerEngine:
                 epoch_total_val = epoch_metrics.get(f"{prefix}val/total_loss")
 
             tracker.log(epoch_metrics, step=epoch)
+            history.append(dict(epoch_metrics))
 
             # ---- periodic visualization (fraction-of-epochs interval) ----
             if vis_every and epoch % vis_every == 0 and val_loader is not None:
@@ -410,6 +412,12 @@ class TrainerEngine:
         exp_dict["best_epoch"] = best_epoch
         exp_dict["best_val_loss"] = best_val
         exp_dict["train_seconds"] = elapsed
+        # per-epoch loss histories (the reference's exp_dict loss dicts,
+        # joint_registration_strainmat_LMA.py:282-293)
+        exp_dict["train_loss_dict"] = {
+            k: [h[k] for h in history if k in h]
+            for k in (history[-1] if history else {}) if k.endswith("total_loss")
+            or "/" in k}
         return exp_dict, tracker
 
     # ---- inference ----------------------------------------------------------- #
