@@ -36,3 +36,59 @@ def test_retention_policy(tmp_path):
                   if p.name.isdigit())
     assert len(kept) <= 2
     mgr.close()
+
+
+def test_engine_resume_continues_from_checkpoint(tmp_path):
+    """Train 2 epochs with checkpointing, then resume to 4: the resumed run
+    must start at epoch 2 (exact state restore, SURVEY.md 5.4)."""
+    import json
+
+    from cardiax.data.datasets import build_datasets
+    from cardiax.data.synthetic import make_dataset
+    from cardiax.models import build_model
+    from cardiax.train import build_trainer
+
+    data = make_dataset(n_subjects=2, slices_per_subject=1, h=16, w=16,
+                        n_frames=8, seed=5)
+    for i, d in enumerate(data):
+        d.update(slice_full_id=f"s{i}", slice_idx=i, augmented=False)
+    datasets = build_datasets(
+        {"train": {"type": "LMADataset", "data_split": ["train"],
+                   "n_frames_to_use_for_regression": 8}},
+        {"train": {"data": data}})
+
+    def cfg(epochs, resume):
+        return {
+            "networks": {"LMA": {"type": "NetStrainMat2LMA", "num_conv_layers": 1,
+                                 "inner_conv_channel_num": 4, "n_frames": 8}},
+            "training": {"scheme": "LMA", "LMA_modality": "strain_mat", "seed": 0,
+                         "batch_size": 2, "epochs": epochs, "resume": resume,
+                         "optimizers": {"LMA": {"type": "Adam",
+                                                "learning_rate": 1e-3}}},
+            "losses": {"TOS_regression": {"criterion": "MSELoss",
+                                          "prediction": "TOS", "target": "TOS",
+                                          "weight": 1.0}},
+            "saving": {"saving_dir": str(tmp_path), "save_checkpoint": True},
+            "others": {},
+        }
+
+    c1 = cfg(2, False)
+    networks = {n: build_model(mc) for n, mc in c1["networks"].items()}
+    t1 = build_trainer(c1["training"], None, c1)
+    t1.train(models=networks, datasets=datasets,
+             trainer_config=c1["training"], full_config=c1)
+
+    c2 = cfg(4, True)
+    networks2 = {n: build_model(mc) for n, mc in c2["networks"].items()}
+    t2 = build_trainer(c2["training"], None, c2)
+    t2.train(models=networks2, datasets=datasets,
+             trainer_config=c2["training"], full_config=c2)
+
+    steps = [json.loads(l).get("step")
+             for l in open(tmp_path / "metrics.jsonl") if '"step"' in l]
+    steps = [s for s in steps if s is not None]
+    # run 1 logs epochs 0,1 (+best); run 2 resumes at 2 and logs 2,3 (+best)
+    assert 0 in steps and 1 in steps and 2 in steps and 3 in steps
+    first_resumed = steps[steps.index(1) + 1]
+    assert first_resumed >= 1, steps   # no restart from 0
+    assert steps.count(0) == 1, f"resumed run retrained epoch 0: {steps}"
