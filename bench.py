@@ -28,8 +28,9 @@ H = W = 128
 T_FRAMES = 20
 T_STRAIN = 40
 N_SECTORS = 126
-WARMUP = 2
-STEPS = 10
+# enough warmup/steps that the tunneled-platform variance stays ~<5%
+WARMUP = 5
+STEPS = 30
 BASELINE_CACHE = REPO / "bench_baseline.json"
 
 

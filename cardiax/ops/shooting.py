@@ -29,14 +29,22 @@ from cardiax.ops.warp_pallas import bilinear_warp_banded
 
 
 def _grad_hw(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Central-difference d/dy, d/dx of (..., H, W) with edge replication."""
-    fy = (jnp.roll(f, -1, axis=-2) - jnp.roll(f, 1, axis=-2)) * 0.5
-    fx = (jnp.roll(f, -1, axis=-1) - jnp.roll(f, 1, axis=-1)) * 0.5
-    # one-sided at the borders
-    fy = fy.at[..., 0, :].set(f[..., 1, :] - f[..., 0, :])
-    fy = fy.at[..., -1, :].set(f[..., -1, :] - f[..., -2, :])
-    fx = fx.at[..., :, 0].set(f[..., :, 1] - f[..., :, 0])
-    fx = fx.at[..., :, -1].set(f[..., :, -1] - f[..., :, -2])
+    """Central-difference d/dy, d/dx of (..., H, W), one-sided at the borders.
+
+    Slice+concat (not roll + scattered edge fix-ups): inside the jitted
+    shooting scan the roll/.at[].set() formulation lowered to ~80 scatters
+    per train step, each a separate TPU fusion; the concat form fuses into
+    the surrounding elementwise graph on both the forward and transpose
+    passes.
+    """
+    fy = jnp.concatenate([
+        f[..., 1:2, :] - f[..., 0:1, :],
+        (f[..., 2:, :] - f[..., :-2, :]) * 0.5,
+        f[..., -1:, :] - f[..., -2:-1, :]], axis=-2)
+    fx = jnp.concatenate([
+        f[..., :, 1:2] - f[..., :, 0:1],
+        (f[..., :, 2:] - f[..., :, :-2]) * 0.5,
+        f[..., :, -1:] - f[..., :, -2:-1]], axis=-1)
     return fy, fx
 
 

@@ -17,9 +17,10 @@ sample coords lie in [0, H-1], so only in-range absolute rows/cols match the
 floor/ceil indices. Edge clamping therefore matches `cardiax.ops.warp`'s
 clip-at-border semantics exactly (for |disp| < R).
 
-The custom VJP is built from four FORWARD-SIZED kernels (a fused bwd kernel
-overflows the Mosaic compiler): the tap loop re-runs with the hat weight (or
-its derivative) swapped per output —
+The custom VJP uses ONE fused backward kernel (all three gradients in a
+single tap sweep, sharing the shifted-image rolls) whenever the unrolled
+program fits Mosaic's scoped-VMEM budget; otherwise it falls back to three
+forward-sized kernels:
   * mode "ddy"/"ddx": d out / d coord  (hat derivative is -1/+1 on the two
     active taps), multiplied by the cotangent outside the kernel;
   * the transpose kernel scatters g * w back by rolling the opposite way,
@@ -45,8 +46,14 @@ DEFAULT_RADIUS = 8
 # one (H, W) f32 block x ~6 live buffers must fit VMEM (~16 MB/core);
 # beyond this the XLA-gather fallback handles it (tiled kernel: round 2)
 _MAX_VMEM_PIXELS = 512 * 512
-# fully-unrolled tap loops beyond this overflow Mosaic's scoped-VMEM stack
-_UNROLL_TAP_LIMIT = 400
+# fully-unrolled tap loop limits (beyond: fori_loop + dynamic rotate).
+# With the d-only hat weights hoisted out of the column loop the per-tap
+# program is tiny and radius 16 (1089 taps) compiles and runs ~5x faster than
+# the fori path; hoisting needs (2R+1) live (H, W) buffers, so on large frames
+# where they don't fit scoped VMEM we still unroll up to 400 taps computing
+# weights inline (the round-1 behavior).
+_UNROLL_TAP_LIMIT = 1100
+_UNROLL_TAP_LIMIT_NOPRE = 400
 
 
 def _shifted(img, d: int, e: int):
@@ -103,6 +110,24 @@ def _row_shifted_dyn(x, shift, h: int, w: int):
     return pltpu.roll(x, jnp.mod(-shift, h), axis=0)
 
 
+def _precompute_wys_ok(h: int, w: int, radius: int, n_lists: int = 1) -> bool:
+    """Keeping n_lists x (2R+1) per-row vertical weights live must fit scoped
+    VMEM (with ~16 arrays of headroom for image/coord/accumulator buffers).
+
+    Budget is EMPIRICAL: Mosaic's stack allocation runs ~4x this estimate
+    (radius 16 fused with 2 lists = 5.25 MB estimated showed as a 22.98 MB
+    scoped allocation against the 16 MB limit), so 4 MB here keeps every
+    accepted configuration comfortably under the hardware limit."""
+    return (n_lists * (2 * radius + 1) + 16) * h * w * 4 <= 4 * 1024 * 1024
+
+
+def _unroll_plan(h: int, w: int, radius: int, n_lists: int = 1):
+    """(unroll?, precompute?) for the tap loops at this frame size/radius."""
+    taps = (2 * radius + 1) ** 2
+    pre = _precompute_wys_ok(h, w, radius, n_lists)
+    return taps <= (_UNROLL_TAP_LIMIT if pre else _UNROLL_TAP_LIMIT_NOPRE), pre
+
+
 def _tap_kernel(img_ref, dy_ref, dx_ref, out_ref, *, radius: int, mode: str):
     """mode 'value': the warp; 'ddy'/'ddx': d warp / d coordinate field."""
     h, w = img_ref.shape
@@ -110,17 +135,27 @@ def _tap_kernel(img_ref, dy_ref, dx_ref, out_ref, *, radius: int, mode: str):
     ii, jj, y0, y1, fy, x0, x1, fx, my, mx = _coords(
         dy_ref[:], dx_ref[:], h, w, radius)
     acc = jnp.zeros((h, w), jnp.float32)
-    unroll = (2 * radius + 1) ** 2 <= _UNROLL_TAP_LIMIT
+    unroll, pre = _unroll_plan(h, w, radius)
+
+    def wy_at(d):
+        return _dhat(ii + d, y0, y1) if mode == "ddy" \
+            else _hat(ii + d, y0, y1, fy)
+
+    if unroll and pre:
+        # the vertical hat weight depends on d only — hoist all 2R+1 of them
+        # out of the column loop (cuts per-tap VPU work ~2.5x)
+        wys = [wy_at(d) for d in range(-radius, radius + 1)]
+        wy_at = lambda d: wys[d + radius]  # noqa: E731
     for e in range(-radius, radius + 1):          # unrolled static lane rolls
         rx = jj + e
         wx = _dhat(rx, x0, x1) if mode == "ddx" else _hat(rx, x0, x1, fx)
         s = _shifted(img, 0, e)
 
-        if unroll:   # fully static rolls: ~2x faster, larger program
+        if unroll:   # fully static rolls (+ hoisted weights on small frames)
+            b = jnp.zeros((h, w), jnp.float32)
             for d in range(-radius, radius + 1):
-                ry = ii + d
-                wy = _dhat(ry, y0, y1) if mode == "ddy" else _hat(ry, y0, y1, fy)
-                acc = acc + (wy * wx) * _shifted(s, d, 0)
+                b = b + wy_at(d) * _shifted(s, d, 0)
+            acc = acc + wx * b
         else:        # fori_loop + dynamic rotate: small program, any radius
             def body(k, acc, wx=wx, s=s):
                 dd = k - radius
@@ -143,7 +178,11 @@ def _transpose_kernel(g_ref, dy_ref, dx_ref, out_ref, *, radius: int):
     ii, jj, y0, y1, fy, x0, x1, fx, _, _ = _coords(
         dy_ref[:], dx_ref[:], h, w, radius)
     acc = jnp.zeros((h, w), jnp.float32)
-    unroll = (2 * radius + 1) ** 2 <= _UNROLL_TAP_LIMIT
+    unroll, pre = _unroll_plan(h, w, radius)
+    wy_at = lambda d: _hat(ii + d, y0, y1, fy)  # noqa: E731
+    if unroll and pre:
+        wys = [wy_at(d) for d in range(-radius, radius + 1)]
+        wy_at = lambda d: wys[d + radius]  # noqa: E731
     for e in range(-radius, radius + 1):
         wx = _hat(jj + e, x0, x1, fx)
         a_e = g * wx
@@ -151,8 +190,7 @@ def _transpose_kernel(g_ref, dy_ref, dx_ref, out_ref, *, radius: int):
         if unroll:
             b_e = jnp.zeros((h, w), jnp.float32)
             for d in range(-radius, radius + 1):
-                wy = _hat(ii + d, y0, y1, fy)
-                b_e = b_e + _shifted(wy * a_e, -d, 0)
+                b_e = b_e + _shifted(wy_at(d) * a_e, -d, 0)
         else:
             def body(k, b, a_e=a_e):
                 dd = k - radius
@@ -181,6 +219,14 @@ def _fused_bwd_kernel(img_ref, dy_ref, dx_ref, g_ref,
     acc_dy = jnp.zeros((h, w), jnp.float32)
     acc_dx = jnp.zeros((h, w), jnp.float32)
     acc_gi = jnp.zeros((h, w), jnp.float32)
+    wy_at = lambda d: _hat(ii + d, y0, y1, fy)  # noqa: E731
+    dwy_at = lambda d: _dhat(ii + d, y0, y1)  # noqa: E731
+    if _precompute_wys_ok(h, w, radius, n_lists=2):
+        # hoist the d-only weights out of the column loop (shared over all e)
+        wys = [wy_at(d) for d in range(-radius, radius + 1)]
+        dwys = [dwy_at(d) for d in range(-radius, radius + 1)]
+        wy_at = lambda d: wys[d + radius]  # noqa: E731
+        dwy_at = lambda d: dwys[d + radius]  # noqa: E731
     for e in range(-radius, radius + 1):
         rx = jj + e
         wx = _hat(rx, x0, x1, fx)
@@ -188,14 +234,16 @@ def _fused_bwd_kernel(img_ref, dy_ref, dx_ref, g_ref,
         s = _shifted(img, 0, e)
         a_e = g * wx
         b_e = jnp.zeros((h, w), jnp.float32)
+        acc_v = jnp.zeros((h, w), jnp.float32)    # sum_d wy_d s_d (for ddx)
+        acc_d = jnp.zeros((h, w), jnp.float32)    # sum_d dwy_d s_d (for ddy)
         for d in range(-radius, radius + 1):
-            ry = ii + d
-            wy = _hat(ry, y0, y1, fy)
-            dwy = _dhat(ry, y0, y1)
             sh = _shifted(s, d, 0)
-            acc_dy = acc_dy + (dwy * wx) * sh
-            acc_dx = acc_dx + (wy * dwx) * sh
+            wy = wy_at(d)
+            acc_v = acc_v + wy * sh
+            acc_d = acc_d + dwy_at(d) * sh
             b_e = b_e + _shifted(wy * a_e, -d, 0)
+        acc_dy = acc_dy + wx * acc_d
+        acc_dx = acc_dx + dwx * acc_v
         acc_gi = acc_gi + _shifted(b_e, 0, -e)
     gimg_ref[:] = acc_gi
     gdy_ref[:] = acc_dy * my * g
@@ -250,7 +298,10 @@ def _banded_bwd(radius, interpret, res, g):
     f32 = jnp.float32
     args = (img.astype(f32), disp[:, 0].astype(f32), disp[:, 1].astype(f32))
     g32 = g.astype(f32)
-    if (2 * radius + 1) ** 2 <= _UNROLL_TAP_LIMIT:
+    h, w = img.shape[-2:]
+    fused_limit = _UNROLL_TAP_LIMIT if _precompute_wys_ok(h, w, radius, 2) \
+        else _UNROLL_TAP_LIMIT_NOPRE
+    if (2 * radius + 1) ** 2 <= fused_limit:
         g_img, g_dy, g_dx = _run_fused_bwd(args + (g32,), radius, interpret)
         g_disp = jnp.stack([g_dy, g_dx], axis=1)
     else:

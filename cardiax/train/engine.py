@@ -334,9 +334,11 @@ class TrainerEngine:
                 n_batches += 1
                 global_step += 1
                 if profiling and global_step > profile_steps:
-                    jax.block_until_ready(values["total_loss"])
+                    float(values["total_loss"])  # real sync (axon: block_until_ready is a no-op)
                     jax.profiler.stop_trace()
                     profiling = False
+                    from cardiax.io.profiling import print_trace_summary
+                    print_trace_summary(profile_dir)
                 for k, v in values.items():
                     accum[k] = accum.get(k, 0.0) + float(v)
             epoch_metrics = {f"{prefix}train/{k}": v / max(1, n_batches)
