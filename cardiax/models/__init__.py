@@ -67,7 +67,7 @@ def _build_registration(cfg: Dict[str, Any]) -> ModelBundle:
         gamma=float(cfg.get("gamma", 1.0)),
         fluid_power=int(cfg.get("fluid_power", 2)),
         n_integration_steps=int(cfg.get("n_integration_steps", 5)),
-        shoot_downsample=int(cfg.get("shoot_downsample", 1)),
+        shoot_downsample=int(cfg.get("shoot_downsample", 2)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))
@@ -95,7 +95,7 @@ def _build_joint_register_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
         alpha=float(cfg.get("alpha", 2.0)),
         gamma=float(cfg.get("gamma", 1.0)),
         n_integration_steps=int(cfg.get("n_integration_steps", 5)),
-        shoot_downsample=int(cfg.get("shoot_downsample", 1)),
+        shoot_downsample=int(cfg.get("shoot_downsample", 2)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))

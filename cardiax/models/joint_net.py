@@ -50,7 +50,7 @@ class JointRegisterStrainMatNet(nn.Module):
     gamma: float = 1.0
     fluid_power: int = 2
     n_integration_steps: int = 5
-    shoot_downsample: int = 1
+    shoot_downsample: int = 2
     strain_features: int = 16
 
     @nn.compact

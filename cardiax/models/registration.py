@@ -38,7 +38,7 @@ class RegistrationNet(nn.Module):
     gamma: float = 1.0
     fluid_power: int = 2
     n_integration_steps: int = 5
-    shoot_downsample: int = 1
+    shoot_downsample: int = 2
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tar: jnp.ndarray,

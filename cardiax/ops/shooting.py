@@ -87,6 +87,11 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
     displacements are dt*v, far below the radius for any sane metric); None
     forces the XLA-gather warp.
     """
+    h_full, w_full = m0.shape[-2:]
+    if shoot_downsample > 1 and (h_full % shoot_downsample
+                                 or w_full % shoot_downsample
+                                 or min(h_full, w_full) < 4 * shoot_downsample):
+        shoot_downsample = 1   # tiny/odd grids: integrate at full resolution
     if shoot_downsample > 1:
         # FLASH-style band-limited shooting: the metric K kills frequencies
         # beyond ~sqrt(gamma/alpha), so velocity (and hence the deformation)
