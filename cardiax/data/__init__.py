@@ -105,6 +105,20 @@ def load_data(data_config: Dict[str, Any],
             if meta in datum:
                 loaded[meta] = datum[meta]
         loaded_list.append(loaded)
+
+    # preprocessing chain (reference `preprocessing` inserts, config.py:93-118)
+    from cardiax.data.datareader import (_crop_to_myocardium,
+                                         _mask_out_images,
+                                         _resize_slice_images)
+    mask_out = data_config.get("mask_out", False)
+    if mask_out and str(mask_out).lower() not in ("false", "f"):
+        loaded_list = _mask_out_images(loaded_list)
+    if data_config.get("crop_to_myocardium_size"):
+        loaded_list = _crop_to_myocardium(
+            loaded_list, data_config["crop_to_myocardium_size"])
+    if data_config.get("resize", False):
+        loaded_list = _resize_slice_images(
+            loaded_list, data_config.get("resize_size", 128))
     return loaded_list
 
 

@@ -90,35 +90,94 @@ def rotate(datum: Dict[str, Any], angle_deg: float,
     return out
 
 
+def translate_ladder(times: int) -> List[int]:
+    """The reference's EXACT asymmetric shift ladder
+    (augmentation/__init__.py:29-54):
+
+      times == 0 -> [0]
+      times == 1 -> [5]
+      times even -> pos = linspace(0,10,times/2+2).astype(int)[1:-1]; +-pos
+      times odd  -> pos = linspace(0,10,ceil(times/2)+2).astype(int)[1:-1];
+                    negatives drop the last rung (-pos[:-1])
+
+    e.g. 2 -> [5, -5]; 3 -> [3, 6, -3]; 4 -> [3, 6, -3, -6].
+    """
+    if times <= 0:
+        return [0]
+    if times == 1:
+        return [5]
+    if times % 2 == 0:
+        pos = np.linspace(0, 10, times // 2 + 2).astype(int)[1:-1]
+        neg = -pos
+    else:
+        pos = np.linspace(0, 10, int(np.ceil(times / 2)) + 2).astype(int)[1:-1]
+        neg = -pos[:-1]
+    return [int(v) for v in np.concatenate([pos, neg])]
+
+
+def rotate_sector_ladder(times: int, interval: int,
+                         n_sectors: int = N_SECTORS_DEFAULT) -> List[int]:
+    """Sector counts to rotate by (reference augmentation/__init__.py:55-59):
+
+      interval == -1 -> linspace(1, n_sectors, times+2).astype(int)[1:-1]
+                        (spread `times` rotations evenly over the full circle)
+      otherwise      -> (arange(1, 20) * interval)[:times]
+    """
+    if times <= 0:
+        return []
+    if interval == -1:
+        return [int(v) for v in
+                np.linspace(1, n_sectors, times + 2).astype(int)[1:-1]]
+    return [int(v) for v in (np.arange(1, 20) * interval)[:times]]
+
+
+def rotate_by_sectors(datum: Dict[str, Any], n_rotate_sectors: int,
+                      n_sectors: int = N_SECTORS_DEFAULT) -> Dict[str, Any]:
+    """The reference's rotation pairing (affine.py:52-88): the image plane
+    rotates by ``-n_rotate_sectors * 360 / n_sectors`` degrees while the
+    strain matrix / TOS curve roll by ``+n_rotate_sectors`` sectors."""
+    out = rotate(datum, -n_rotate_sectors * 360.0 / n_sectors, n_sectors)
+    # rotate() rolls sector arrays by angle/sector_deg = -n; re-roll by +2n
+    # to land on the reference's +n pairing
+    for key in _SECTOR_KEYS_2D + _SECTOR_KEYS_1D:
+        if key in out and isinstance(out[key], np.ndarray):
+            out[key] = np.roll(out[key], 2 * int(n_rotate_sectors), axis=0)
+    return out
+
+
 def augment_datum(datum: Dict[str, Any], data_config: Dict[str, Any]) -> List[Dict[str, Any]]:
-    """Grid of translations x rotations for one slice dict
-    (reference augmentation/__init__.py:5-68)."""
+    """Full (translate_y x translate_x x rotation) grid for one slice dict —
+    the reference's loop structure (augmentation/__init__.py:84-99), with each
+    variant rotated first then translated (reference augment_datum:20-22).
+
+    Conscious deviation: translate-only configs (rotate_times == 0) produce
+    pure translations; the reference's inner rotation loop is empty there and
+    silently produces NO augmented data at all — a bug, not a capability.
+    """
     ty = int(data_config.get("augment_translate_times_y", 0))
     tx = int(data_config.get("augment_translate_times_x", 0))
     rot_times = int(data_config.get("augment_rotate_times", 0))
     rot_interval = int(data_config.get("augment_rotate_interval", 10))
     n_sectors = int(data_config.get("n_sectors", N_SECTORS_DEFAULT))
-    sector_deg = 360.0 / n_sectors
 
-    max_shift = 10
-    shifts_y = list(np.linspace(-max_shift, max_shift, 2 * ty + 1).astype(int)) if ty > 0 else [0]
-    shifts_x = list(np.linspace(-max_shift, max_shift, 2 * tx + 1).astype(int)) if tx > 0 else [0]
-    angles = [sector_deg * rot_interval * k for k in range(1, rot_times + 1)] if rot_times > 0 else []
+    shifts_y = translate_ladder(ty)
+    shifts_x = translate_ladder(tx)
+    sectors = rotate_sector_ladder(rot_times, rot_interval, n_sectors)
+    if not sectors:
+        if ty == 0 and tx == 0:
+            return []
+        sectors = [0]
 
     augmented: List[Dict[str, Any]] = []
     for sy in shifts_y:
         for sx in shifts_x:
-            if sy == 0 and sx == 0:
-                base = datum
-            else:
-                base = translate(datum, sy, sx)
-                tagged = copy.copy(base)
-                tagged["augmented"] = True
-                augmented.append(tagged)
-            for ang in angles:
-                rot = rotate(base, ang, n_sectors)
-                rot["augmented"] = True
-                augmented.append(rot)
+            for ns in sectors:
+                if sy == 0 and sx == 0 and ns == 0:
+                    continue
+                a = rotate_by_sectors(datum, ns, n_sectors) if ns else datum
+                a = translate(a, sy, sx) if (sy or sx) else copy.copy(a)
+                a["augmented"] = True
+                augmented.append(a)
     return augmented
 
 

@@ -268,6 +268,11 @@ def load_cine_pairs_from_npy_file(npy_filename: str,
             dx_all = np.asarray(sd[f"{dense_key}_X"])
             dy_all = np.asarray(sd[f"{dense_key}_Y"])
             if dx_all.shape != masks.shape:
+                # interpolated DENSE/cine alignment check (reference
+                # DENSE_cine_IO.py:114-120): skip mismatched slices loudly
+                print(f"Warning: shape of DENSE data {dx_all.shape} does not "
+                      f"match the shape of cine data {masks.shape} "
+                      f"(slice {subject_id}-{slice_idx}); skipping")
                 continue
         tos = _tos_of(sd)
         if tos is None:
@@ -351,25 +356,87 @@ def load_slices_from_npy_file(npy_filename: str,
     return out
 
 
-def _resize_slice_images(data: List[Dict[str, Any]], size: int = 128
+_IMG_PLANE_KEYS = ("LV_masks", "source_image", "target_image", "source_mask",
+                   "target_mask", "cine_lv_myo_masks", "cine_images")
+_FIELD_PLANE_KEYS = ("DENSE_displacement_field_X", "DENSE_displacement_field_Y")
+
+
+def _as_hw(size) -> tuple:
+    """int or 'H,W' string or (H, W) sequence -> (H, W)."""
+    if isinstance(size, str):
+        size = [int(v) for v in size.strip("(*)").split(",")]
+    if isinstance(size, (list, tuple)):
+        return (int(size[0]), int(size[1 if len(size) > 1 else 0]))
+    return (int(size), int(size))
+
+
+def _resize_slice_images(data: List[Dict[str, Any]], size=128
                          ) -> List[Dict[str, Any]]:
-    """Optional (H, W) resize of image-plane arrays (reference DENSE_IO.py:52-58).
-    Nearest for masks, linear for displacement fields."""
-    img_keys = ("LV_masks", "source_image", "target_image", "source_mask",
-                "target_mask", "cine_lv_myo_masks")
-    field_keys = ("DENSE_displacement_field_X", "DENSE_displacement_field_Y")
+    """Optional (H, W) resize of image-plane arrays (reference DENSE_IO.py:52-58
+    / the `resize` preprocessing insert, config.py:111-118). ``size`` may be an
+    int or an (H, W) pair. Nearest for masks, linear for displacement fields
+    (values rescaled to the new pixel grid)."""
+    th, tw = _as_hw(size)
     for d in data:
-        for k in img_keys:
+        for k in _IMG_PLANE_KEYS:
             if k in d and isinstance(d[k], np.ndarray) and d[k].ndim >= 2:
                 arr = d[k]
-                zoom = [size / arr.shape[0], size / arr.shape[1]] + [1] * (arr.ndim - 2)
+                zoom = [th / arr.shape[0], tw / arr.shape[1]] + [1] * (arr.ndim - 2)
                 d[k] = ndimage.zoom(arr, zoom, order=0)
-        for k in field_keys:
+        for k in _FIELD_PLANE_KEYS:
             if k in d and isinstance(d[k], np.ndarray) and d[k].ndim >= 2:
                 arr = d[k]
-                scale = size / arr.shape[0]
-                zoom = [size / arr.shape[0], size / arr.shape[1]] + [1] * (arr.ndim - 2)
+                scale = th / arr.shape[0]
+                zoom = [th / arr.shape[0], tw / arr.shape[1]] + [1] * (arr.ndim - 2)
                 d[k] = ndimage.zoom(arr, zoom, order=1) * scale
+    return data
+
+
+def _crop_to_myocardium(data: List[Dict[str, Any]], size) -> List[Dict[str, Any]]:
+    """`crop_to_myocardium` preprocessing (reference config.py:99-110 +
+    preprocessing subsystem): crop every image-plane array to a (H, W) window
+    centered on the myocardium mask's bounding-box center, clamped to the
+    frame. Displacement VALUES are unchanged (pixel units are preserved)."""
+    ch, cw = _as_hw(size)
+    for d in data:
+        mask = None
+        for k in ("LV_masks", "cine_lv_myo_masks", "source_mask", "source_image"):
+            if k in d and isinstance(d[k], np.ndarray) and d[k].ndim >= 2:
+                mask = d[k]
+                break
+        if mask is None:
+            continue
+        m2 = mask if mask.ndim == 2 else mask.reshape(mask.shape[:2] + (-1,)).max(-1)
+        ys, xs = np.nonzero(m2 > 0)
+        h, w = m2.shape
+        cy = int(ys.mean()) if ys.size else h // 2
+        cx = int(xs.mean()) if xs.size else w // 2
+        y0 = min(max(0, cy - ch // 2), max(0, h - ch))
+        x0 = min(max(0, cx - cw // 2), max(0, w - cw))
+        y1, x1 = min(h, y0 + ch), min(w, x0 + cw)
+        for k in _IMG_PLANE_KEYS + _FIELD_PLANE_KEYS:
+            if k in d and isinstance(d[k], np.ndarray) and d[k].ndim >= 2 \
+                    and d[k].shape[:2] == (h, w):
+                d[k] = d[k][y0:y1, x0:x1]
+    return data
+
+
+def _mask_out_images(data: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """`maskout` preprocessing (reference config.py:93-98): zero image
+    background outside the myocardium mask. Applies to grey-value cine images
+    when a mask of matching shape exists; masks themselves are left alone."""
+    for d in data:
+        mask = None
+        for k in ("LV_masks", "cine_lv_myo_masks", "source_mask"):
+            if k in d and isinstance(d[k], np.ndarray):
+                mask = d[k]
+                break
+        if mask is None:
+            continue
+        for k in ("cine_images", "source_image", "target_image"):
+            if k in d and isinstance(d[k], np.ndarray) \
+                    and d[k].shape == mask.shape and d[k] is not mask:
+                d[k] = d[k] * (mask > 0)
     return data
 
 
@@ -415,8 +482,15 @@ class DENSEDataReader:
             raise KeyError(f"Unknown loading_method {method!r}; "
                            f"known: {sorted(self.LOADING_METHODS)}")
         data = self.LOADING_METHODS[method](npy_filename, data_config)
+        # preprocessing chain (reference `preprocessing` inserts,
+        # config.py:93-118): maskout -> crop_to_myocardium -> resize
+        mask_out = cfg.get("mask_out", False)
+        if mask_out and str(mask_out).lower() not in ("false", "f"):
+            data = _mask_out_images(data)
+        if cfg.get("crop_to_myocardium_size"):
+            data = _crop_to_myocardium(data, cfg["crop_to_myocardium_size"])
         if cfg.get("resize", False):
-            data = _resize_slice_images(data, int(cfg.get("resize_size", 128)))
+            data = _resize_slice_images(data, cfg.get("resize_size", 128))
         return data
 
 

@@ -55,6 +55,30 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     inference_only = config["training"].get("inference_only", False)
     saving = config.get("saving", {})
     tracker = None
+
+    # optional warm start (reference --load-pretrained-model /
+    # --pretrained-model-path, config.py:120-122): initialize then overwrite
+    # params from a msgpack export before training
+    pretrained = config["training"].get("load_pretrained_model", False)
+    pre_path = config["training"].get("pretrained_model_path")
+    if pretrained and str(pretrained).lower() not in ("false", "f") and pre_path:
+        from cardiax.io.export import load_model_params
+        src_name = "train" if "train" in datasets and len(datasets["train"]) \
+            else next(iter(datasets))
+        example = next(iter(trainer.scheme.make_loader(
+            datasets[src_name], int(config["training"].get("batch_size", 10)),
+            shuffle=False)))
+        trainer.setup(networks, example, steps_per_epoch=1,
+                      seed=int(config["training"].get("seed", 2434)))
+        pdir = Path(pre_path)
+        for name, bundle in networks.items():
+            mp = pdir / f"model-{name}.msgpack" if pdir.is_dir() else pdir
+            if mp.exists():
+                loaded = load_model_params(mp, trainer.params[name])
+                trainer.params[name] = loaded
+                bundle.params = loaded
+                print(f"warm start: loaded params for {name} from {mp}")
+
     if not inference_only:
         try:
             trained_models, tracker = trainer.train(

@@ -179,6 +179,7 @@ class TrainerEngine:
         self._txs: Optional[Dict[str, optax.GradientTransformation]] = None
         self.modules: Dict[str, Any] = {}
         self.bundles: Dict[str, Any] = {}
+        self._warned_visualization = False
 
     # ---- compiled steps ---------------------------------------------------- #
     def _make_steps(self):
@@ -376,8 +377,16 @@ class TrainerEngine:
                     fig_dir.mkdir(parents=True, exist_ok=True)
                     self.scheme.visualize(vb, vpred_np,
                                           fig_dir / f"epoch_{epoch:04d}.png")
-                except Exception:
-                    pass   # visualization must never kill training
+                except Exception as e:
+                    # visualization must never kill training, but a broken
+                    # figure pipeline shouldn't be silent either: warn once
+                    if not self._warned_visualization:
+                        self._warned_visualization = True
+                        import warnings
+                        warnings.warn(
+                            f"periodic visualization failed (epoch {epoch}): "
+                            f"{type(e).__name__}: {e} — suppressing further "
+                            f"visualization errors this run")
 
             if ckpt is not None:
                 ckpt.save(epoch, self.params, self.opt_states,

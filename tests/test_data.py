@@ -7,7 +7,14 @@ from cardiax.data import (
     load_data,
     split_vol_to_registration_pairs,
 )
-from cardiax.data.augmentation import augment_all_data, rotate, translate
+from cardiax.data.augmentation import (
+    augment_all_data,
+    rotate,
+    rotate_by_sectors,
+    rotate_sector_ladder,
+    translate,
+    translate_ladder,
+)
 from cardiax.data.datasets import build_datasets
 from cardiax.data.loader import Batcher, SliceBatcher
 from cardiax.data.split import SplitManager, split_data
@@ -102,6 +109,69 @@ def test_augmentation_translate_rolls_pixels():
     np.testing.assert_array_equal(tr["cine_lv_myo_masks"],
                                   np.roll(d["cine_lv_myo_masks"], (2, -3), axis=(0, 1)))
     np.testing.assert_array_equal(tr["strain_matrix"], d["strain_matrix"])
+
+
+def test_translate_ladder_reference_parity():
+    """Golden values of the reference's asymmetric shift ladder
+    (modules/data/augmentation/__init__.py:29-54)."""
+    assert translate_ladder(0) == [0]
+    assert translate_ladder(1) == [5]
+    assert translate_ladder(2) == [5, -5]
+    assert translate_ladder(3) == [3, 6, -3]
+    assert translate_ladder(4) == [3, 6, -3, -6]
+    assert translate_ladder(5) == [2, 5, 7, -2, -5]
+
+
+def test_rotate_sector_ladder_reference_parity():
+    """Golden values incl. the interval == -1 branch
+    (modules/data/augmentation/__init__.py:55-59)."""
+    assert rotate_sector_ladder(2, 10) == [10, 20]
+    assert rotate_sector_ladder(3, 5) == [5, 10, 15]
+    assert rotate_sector_ladder(1, -1) == [63]          # linspace(1,126,3)[1:-1]
+    assert rotate_sector_ladder(3, -1) == [32, 63, 94]  # linspace(1,126,5)[1:-1]
+    # arange(1, 20) caps the ladder at 19 rungs regardless of times
+    assert rotate_sector_ladder(25, 10) == [10 * k for k in range(1, 20)]
+    assert rotate_sector_ladder(0, 10) == []
+
+
+def test_rotate_by_sectors_reference_pairing():
+    """Image rotates by -n*360/126 deg while strain/TOS roll by +n sectors
+    (reference affine.py:56, 74-81)."""
+    data = make_dataset(n_subjects=1, slices_per_subject=1, h=H, w=W,
+                        n_frames=T, seed=5)
+    d = data[0]
+    n = 4
+    rot = rotate_by_sectors(d, n, NSEC)
+    np.testing.assert_allclose(rot["strain_matrix"],
+                               np.roll(d["strain_matrix"], n, axis=0))
+    np.testing.assert_allclose(rot["TOS"], np.roll(d["TOS"], n, axis=0))
+    # the image really rotated (mass preserved, content moved)
+    assert abs(rot["cine_lv_myo_masks"].sum() - d["cine_lv_myo_masks"].sum()) \
+        < 0.1 * d["cine_lv_myo_masks"].sum()
+
+
+def test_augment_grid_is_full_product():
+    """ty=2, tx=1, rotate 2x10 -> [5,-5] x [5] x [10,20] = 4 variants."""
+    data = make_dataset(n_subjects=1, slices_per_subject=1, h=H, w=W,
+                        n_frames=T, seed=6)
+    aug = augment_all_data(data, {"augment_translate_times_y": 2,
+                                  "augment_translate_times_x": 1,
+                                  "augment_rotate_times": 2,
+                                  "augment_rotate_interval": 10})
+    assert len(aug) == 4
+    assert all(a["augmented"] for a in aug)
+
+
+def test_augment_translate_only_still_produces_data():
+    """Conscious deviation from the reference, whose empty rotation loop
+    silently drops translate-only augmentation entirely."""
+    data = make_dataset(n_subjects=1, slices_per_subject=1, h=H, w=W,
+                        n_frames=T, seed=7)
+    aug = augment_all_data(data, {"augment_translate_times_y": 2})
+    assert len(aug) == 2   # shifts [5, -5]
+    np.testing.assert_array_equal(
+        aug[0]["cine_lv_myo_masks"],
+        np.roll(data[0]["cine_lv_myo_masks"], (5, 0), axis=(0, 1)))
 
 
 def test_augment_all_data_counts():

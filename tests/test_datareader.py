@@ -113,3 +113,51 @@ def test_reader_dispatch_and_resize(tmp_path):
     assert out[0]["LV_masks"].shape[:2] == (32, 32)
     with pytest.raises(KeyError):
         reader.load_record_from_npy(p, {"loading": {"loading_method": "nope"}})
+
+
+def test_preprocessing_chain_crop_resize_maskout(tmp_path):
+    """maskout -> crop_to_myocardium -> resize preprocessing (reference
+    config.py:93-118 inserts), driven purely by data-config keys."""
+    data = [_clinical_slice("PAT07")]
+    p = _save(tmp_path, data, "prep.npy")
+    cfg = {"loading": {"loading_method": "DENSE_slices",
+                       "crop_to_myocardium_size": [12, 14],
+                       "resize": True, "resize_size": [16, 16]}}
+    out = DENSEDataReader().load_record_from_npy(p, cfg)
+    assert out, "reader returned no slices"
+    # crop happened before resize: final shape is the resize target
+    assert out[0]["LV_masks"].shape[:2] == (16, 16)
+    assert out[0]["DENSE_displacement_field_X"].shape[:2] == (16, 16)
+
+
+def test_resize_accepts_rectangular_size(tmp_path):
+    data = [_clinical_slice("PAT08")]
+    p = _save(tmp_path, data, "rect.npy")
+    cfg = {"loading": {"loading_method": "DENSE_slices",
+                       "resize": True, "resize_size": [24, 16]}}
+    out = DENSEDataReader().load_record_from_npy(p, cfg)
+    assert out[0]["LV_masks"].shape[:2] == (24, 16)
+
+
+def test_maskout_zeroes_image_background(tmp_path):
+    from cardiax.data.datareader import _mask_out_images
+    mask = np.zeros((8, 8), np.float32)
+    mask[2:5, 2:5] = 1.0
+    img = np.ones((8, 8), np.float32)
+    data = [{"source_mask": mask, "source_image": img.copy(),
+             "target_image": img.copy()}]
+    out = _mask_out_images(data)
+    assert out[0]["source_image"].sum() == 9
+    assert out[0]["source_mask"].sum() == 9  # the mask itself untouched
+
+
+def test_interpolated_alignment_mismatch_warns_and_skips(tmp_path, capsys):
+    """DENSE/cine shape-alignment check (reference DENSE_cine_IO.py:114-120)."""
+    d = _clinical_slice("PAT09")
+    d["DENSE_displacement_field_merged"] = \
+        d["DENSE_displacement_field_merged"][:, :, :, :T - 1]  # misaligned
+    p = _save(tmp_path, [d], "misalign.npy")
+    pairs = load_cine_pairs_from_npy_file(
+        p, {"loading": {"use_interpolated_data": True}})
+    assert pairs == []
+    assert "does not match" in capsys.readouterr().out
