@@ -33,7 +33,10 @@ def make_slice(rng: np.random.Generator, subject_id: str, h: int = 64, w: int = 
         arc_start = rng.integers(0, n_sectors)
         arc_len = rng.integers(n_sectors // 8, n_sectors // 3)
         idx = (np.arange(arc_start, arc_start + arc_len)) % n_sectors
-        tos[idx] += rng.uniform(15.0, 30.0)
+        # late arc calibrated to clear the clinical LMA threshold (20 frames,
+        # reference configs/config.json:133) with margin: base onset is 2-5,
+        # so late sectors land in [21, 37] — GT labels are never borderline
+        tos[idx] += rng.uniform(19.0, 32.0)
     tos = tos + rng.normal(0, 0.3, n_sectors)
     tos = np.clip(tos, 1.0, n_frames * 2.0)
 

@@ -43,8 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_RADIUS = 8
-# one (H, W) f32 block x ~6 live buffers must fit VMEM (~16 MB/core);
-# beyond this the XLA-gather fallback handles it (tiled kernel: round 2)
+# one (H, W) f32 block x ~6 live buffers must fit VMEM (~16 MB/core); beyond
+# this the TILED kernels run (grid (N, H/TR), manual row-window DMA from HBM);
+# frames whose height none of the tile sizes divide take the XLA-gather
+# fallback
 _MAX_VMEM_PIXELS = 512 * 512
 # fully-unrolled tap loop limits (beyond: fori_loop + dynamic rotate).
 # With the d-only hat weights hoisted out of the column loop the per-tap
@@ -280,13 +282,219 @@ def _run(kernel, args, radius: int, interpret: bool, **kw):
     )(*args)
 
 
+# --------------------------------------------------------------------------- #
+# Tiled kernels: frames too large for one (H, W) VMEM block                    #
+# --------------------------------------------------------------------------- #
+# Grid (N, H/TR). dy/dx/out are (TR, W) row-band blocks; the image stays in
+# ANY/HBM and each grid step manually DMAs a (TR + 2R, W) row window starting
+# at start = clamp(r0 - R, 0, H - window). One dynamic roll by -off
+# (off = r0 - start, traced) aligns the window so row i is absolute row
+# r0 + i; the per-tap rolls are then static. Wrapped rows only appear where
+# the absolute tap row is outside the image — exactly where the hat weight
+# (keyed on the GLOBAL row index) is zero, so the forward/ddy/ddx kernels
+# need no masking. The transpose kernel evaluates weights at the SOURCE
+# pixel, where wrapped rows can carry nonzero weights, so it masks each tap
+# by absolute-source-row validity.
+
+_TILE_ROWS = 64
+
+
+def _win_margin(radius: int) -> int:
+    """Window margin rounded up to the (8,128) sublane tiling: Mosaic must
+    PROVE the dynamic HBM slice start divisible by 8, so the start is built
+    as 8 * clip((r0 - margin) // 8, ...) with margin a multiple of 8."""
+    return -(-radius // 8) * 8
+
+
+def _tile_plan(h: int, w: int, radius: int):
+    """Tile row count for an (H, W) frame, or None if untileable."""
+    for tr in (_TILE_ROWS, 32, 16, 8):
+        if h % tr == 0 and h >= tr + 2 * _win_margin(radius) \
+                and tr * w <= _MAX_VMEM_PIXELS:
+            return tr
+    return None
+
+
+def _window_coords(dy, dx, r0, h: int, w: int, radius: int, ii=None):
+    """_coords with a GLOBAL row index (r0 + local row) for row-band blocks.
+    Pass ``ii`` explicitly for ALIGNED windows, whose tail rows wrap to
+    absolute rows ABOVE r0 (see `_tiled_transpose_kernel`)."""
+    tr = dy.shape[0]
+    if ii is None:
+        ii = (jax.lax.broadcasted_iota(jnp.int32, (tr, w), 0)
+              .astype(jnp.float32)) + r0.astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tr, w), 1).astype(jnp.float32)
+    r = float(radius - 1)
+    cy = jnp.clip(ii + jnp.clip(dy, -r, r), 0.0, h - 1.0)
+    cx = jnp.clip(jj + jnp.clip(dx, -r, r), 0.0, w - 1.0)
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    fy = cy - y0
+    fx = cx - x0
+    y1 = jnp.minimum(y0 + 1.0, h - 1.0)
+    x1 = jnp.minimum(x0 + 1.0, w - 1.0)
+    my = jnp.where((jnp.abs(dy) <= r) & (ii + dy >= 0.0)
+                   & (ii + dy <= h - 1.0), 1.0, 0.0)
+    mx = jnp.where((jnp.abs(dx) <= r) & (jj + dx >= 0.0)
+                   & (jj + dx <= w - 1.0), 1.0, 0.0)
+    return ii, jj, y0, y1, fy, x0, x1, fx, my, mx
+
+
+def _tiled_tap_kernel(dy_ref, dx_ref, img_ref, out_ref, win_ref, sem, *,
+                      radius: int, mode: str, h: int, tile_rows: int):
+    """Tiled twin of `_tap_kernel`; img_ref is the full (N, H, W) array in
+    ANY/HBM, the rest are (TR, W) blocks of grid step (n, r)."""
+    n = pl.program_id(0)
+    r = pl.program_id(1)
+    w = out_ref.shape[-1]
+    margin = _win_margin(radius)
+    win = tile_rows + 2 * margin
+    r0 = r * tile_rows
+    start = 8 * jnp.clip((r0 - margin) // 8, 0, (h - win) // 8)
+    off = r0 - start
+    copy = pltpu.make_async_copy(img_ref.at[n, pl.ds(start, win)], win_ref, sem)
+    copy.start()
+    ii, jj, y0, y1, fy, x0, x1, fx, my, mx = _window_coords(
+        dy_ref[:], dx_ref[:], r0, h, w, radius)
+    copy.wait()
+    # align: base[i] = window[i + off] = img[r0 + i]
+    base = pltpu.roll(win_ref[:], jnp.mod(-off, win), axis=0)
+
+    def wy_at(d):
+        return _dhat(ii + d, y0, y1) if mode == "ddy" \
+            else _hat(ii + d, y0, y1, fy)
+
+    acc = jnp.zeros((tile_rows, w), jnp.float32)
+    for e in range(-radius, radius + 1):
+        rx = jj + e
+        wx = _dhat(rx, x0, x1) if mode == "ddx" else _hat(rx, x0, x1, fx)
+        s = pltpu.roll(base, -e % w, axis=1) if e else base
+        b = jnp.zeros((tile_rows, w), jnp.float32)
+        for d in range(-radius, radius + 1):
+            # rolled[i] = base[i + d] = img[r0 + i + d]; wrapped rows are
+            # out-of-image and get hat weight 0 (global-row keyed)
+            rolled = pltpu.roll(s, -d % win, axis=0)[:tile_rows] if d \
+                else s[:tile_rows]
+            b = b + wy_at(d) * rolled
+        acc = acc + wx * b
+    if mode == "ddy":
+        acc = acc * my
+    elif mode == "ddx":
+        acc = acc * mx
+    out_ref[:] = acc
+
+
+def _tiled_transpose_kernel(g_ref, dy_ref, dx_ref, out_ref,
+                            gwin_ref, dywin_ref, dxwin_ref, sem, *,
+                            radius: int, h: int, tile_rows: int):
+    """Tiled d/d img: out rows [r0, r0+TR) gather cotangent mass from source
+    rows [r0-R, r0+TR+R). g/dy/dx arrive as full (N, H, W) ANY refs and are
+    window-DMA'd; weights are evaluated at the SOURCE pixel, so each tap is
+    masked by absolute-source-row validity (wrapped window rows are real
+    in-image rows whose weights are NOT zero)."""
+    n = pl.program_id(0)
+    r = pl.program_id(1)
+    w = out_ref.shape[-1]
+    margin = _win_margin(radius)
+    win = tile_rows + 2 * margin
+    r0 = r * tile_rows
+    start = 8 * jnp.clip((r0 - margin) // 8, 0, (h - win) // 8)
+    off = r0 - start
+    copies = [pltpu.make_async_copy(ref.at[n, pl.ds(start, win)], dst, sem)
+              for ref, dst in ((g_ref, gwin_ref), (dy_ref, dywin_ref),
+                               (dx_ref, dxwin_ref))]
+    for c in copies:
+        c.start()
+        c.wait()
+    align = lambda x: pltpu.roll(x, jnp.mod(-off, win), axis=0)  # noqa: E731
+    g = align(gwin_ref[:])
+    dyw = align(dywin_ref[:])
+    dxw = align(dxwin_ref[:])
+    # source-pixel coords over the aligned window: row i is absolute row
+    # r0 + ((i + off) mod win) - off — the tail rows i >= win - off wrap to
+    # the rows ABOVE r0, and their weights must use that true absolute index
+    loc = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0)
+    abs_row = (jnp.mod(loc + off, win) - off).astype(jnp.float32) \
+        + r0.astype(jnp.float32)
+    ii, jj, y0, y1, fy, x0, x1, fx, _, _ = _window_coords(
+        dyw, dxw, r0, h, w, radius, ii=abs_row)
+    out_iota = (jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w), 0)
+                .astype(jnp.float32)) + r0.astype(jnp.float32)
+    acc = jnp.zeros((tile_rows, w), jnp.float32)
+    for e in range(-radius, radius + 1):
+        wx = _hat(jj + e, x0, x1, fx)
+        a_e = g * wx
+        b_e = jnp.zeros((tile_rows, w), jnp.float32)
+        for d in range(-radius, radius + 1):
+            # out(r, s) += w(r-d, s-e) g(r-d, s-e): source row r-d lives at
+            # aligned index (r - r0) - d; mask rows whose absolute source row
+            # falls outside the image (those reads wrapped)
+            wy = _hat(ii + d, y0, y1, fy)
+            contrib = pltpu.roll(wy * a_e, d % win, axis=0)[:tile_rows] if d \
+                else (wy * a_e)[:tile_rows]
+            src_row = out_iota - d
+            valid = jnp.where((src_row >= 0.0) & (src_row <= h - 1.0), 1.0, 0.0)
+            b_e = b_e + contrib * valid
+        acc = acc + (pltpu.roll(b_e, e % w, axis=1) if e else b_e)
+    out_ref[:] = acc
+
+
+def _run_tiled(kernel_mode, img, dy, dx, radius: int, interpret: bool,
+               tile_rows: int):
+    n, h, w = img.shape
+    win = tile_rows + 2 * _win_margin(radius)
+    band = pl.BlockSpec((None, tile_rows, w), lambda i, r: (i, r, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.ANY)
+    kern = functools.partial(_tiled_tap_kernel, radius=radius,
+                             mode=kernel_mode, h=h, tile_rows=tile_rows)
+    return pl.pallas_call(
+        kern,
+        grid=(n, h // tile_rows),
+        in_specs=[band, band, full],
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((win, w), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(dy, dx, img)
+
+
+def _run_tiled_transpose(g, dy, dx, radius: int, interpret: bool,
+                         tile_rows: int):
+    n, h, w = g.shape
+    win = tile_rows + 2 * _win_margin(radius)
+    band = pl.BlockSpec((None, tile_rows, w), lambda i, r: (i, r, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.ANY)
+    kern = functools.partial(_tiled_transpose_kernel, radius=radius, h=h,
+                             tile_rows=tile_rows)
+    return pl.pallas_call(
+        kern,
+        grid=(n, h // tile_rows),
+        in_specs=[full, full, full],
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((win, w), jnp.float32),
+                        pltpu.VMEM((win, w), jnp.float32),
+                        pltpu.VMEM((win, w), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(g, dy, dx)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _banded_warp_nhw(img, disp, radius: int, interpret: bool):
     """img (N, H, W), disp (N, 2, H, W) -> warped (N, H, W)."""
-    return _run(_tap_kernel,
-                (img.astype(jnp.float32), disp[:, 0].astype(jnp.float32),
-                 disp[:, 1].astype(jnp.float32)),
-                radius, interpret, mode="value")
+    h, w = img.shape[-2:]
+    args = (img.astype(jnp.float32), disp[:, 0].astype(jnp.float32),
+            disp[:, 1].astype(jnp.float32))
+    if h * w > _MAX_VMEM_PIXELS:
+        tr = _tile_plan(h, w, radius)
+        assert tr is not None, "caller must check _tile_plan before dispatch"
+        return _run_tiled("value", args[0], args[1], args[2], radius,
+                          interpret, tr)
+    return _run(_tap_kernel, args, radius, interpret, mode="value")
 
 
 def _banded_fwd(img, disp, radius, interpret):
@@ -299,6 +507,14 @@ def _banded_bwd(radius, interpret, res, g):
     args = (img.astype(f32), disp[:, 0].astype(f32), disp[:, 1].astype(f32))
     g32 = g.astype(f32)
     h, w = img.shape[-2:]
+    if h * w > _MAX_VMEM_PIXELS:
+        tr = _tile_plan(h, w, radius)
+        ddy = _run_tiled("ddy", *args, radius, interpret, tr)
+        ddx = _run_tiled("ddx", *args, radius, interpret, tr)
+        g_img = _run_tiled_transpose(g32, args[1], args[2], radius,
+                                     interpret, tr)
+        g_disp = jnp.stack([g32 * ddy, g32 * ddx], axis=1)
+        return g_img.astype(img.dtype), g_disp.astype(disp.dtype)
     fused_limit = _UNROLL_TAP_LIMIT if _precompute_wys_ok(h, w, radius, 2) \
         else _UNROLL_TAP_LIMIT_NOPRE
     if (2 * radius + 1) ** 2 <= fused_limit:
@@ -326,10 +542,15 @@ def bilinear_warp_banded(img: jnp.ndarray, disp: jnp.ndarray,
     """
     if interpret is None:
         h, w = img.shape[-2:]
-        if jax.default_backend() != "tpu" or h * w > _MAX_VMEM_PIXELS:
+        if jax.default_backend() != "tpu" or (
+                h * w > _MAX_VMEM_PIXELS and _tile_plan(h, w, radius) is None):
             from cardiax.ops.warp import bilinear_warp
             return bilinear_warp(img, disp)
         interpret = False
+    elif img.shape[-2] * img.shape[-1] > _MAX_VMEM_PIXELS \
+            and _tile_plan(img.shape[-2], img.shape[-1], radius) is None:
+        from cardiax.ops.warp import bilinear_warp
+        return bilinear_warp(img, disp)
     img_flat = img.reshape((-1,) + img.shape[-2:])
     disp_flat = disp.reshape((-1, 2) + disp.shape[-2:])
     if disp_flat.shape[0] == 1 and img_flat.shape[0] != 1:

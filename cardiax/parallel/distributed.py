@@ -59,11 +59,21 @@ def shard_global_batch(host_batch: Dict[str, Any], mesh) -> Dict[str, Any]:
     `make_array_from_process_local_data` stitches them into one global jax
     Array sharded over the mesh's data axis.
     """
+    n_shard = mesh.shape["data"]
     out: Dict[str, Any] = {}
     for k, v in host_batch.items():
         if isinstance(v, (np.ndarray, jax.Array)):
-            sharding = batch_sharding(mesh, np.ndim(v))
-            out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            arr = np.asarray(v)
+            local_per_host = n_shard // jax.process_count()
+            if arr.ndim == 0 or arr.shape[0] * jax.process_count() % n_shard:
+                raise ValueError(
+                    f"shard_global_batch: field {k!r} has local leading dim "
+                    f"{arr.shape[:1]} which cannot tile the mesh 'data' axis "
+                    f"of size {n_shard} over {jax.process_count()} process(es)"
+                    f" — pad the per-host batch to a multiple of "
+                    f"{max(1, local_per_host)} (the Batcher does this)")
+            sharding = batch_sharding(mesh, arr.ndim)
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
         else:
             out[k] = v
     return out

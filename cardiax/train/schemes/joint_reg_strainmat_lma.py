@@ -82,14 +82,22 @@ class JointRegisterStrainmatLMAScheme(Scheme):
 
     def performance(self, preds, dataset_name):
         """sector_error + thresholded LMA sector accuracy (reference
-        :310-311, 384-428: sector labels = TOS > LMA_threshold)."""
+        :310-311, 384-428: sector labels = TOS > LMA_threshold), plus
+        threshold-free LMA_auc and a threshold-sweep best-F1 so the LMA
+        metrics stay informative when the predicted TOS is miscalibrated
+        against the fixed clinical threshold (VERDICT round 1, weak #5)."""
+        from cardiax.losses.metrics import binary_auc, threshold_sweep_f1
         perf = super().performance(preds, dataset_name)
         tp = fp = fn = correct = total = 0
+        scores, labels = [], []
         for p in preds:
             if "TOS_pred" not in p or "TOS" not in p:
                 continue
-            pred_lbl = np.asarray(p["TOS_pred"]) > self.lma_threshold
+            tos_pred = np.asarray(p["TOS_pred"])
+            pred_lbl = tos_pred > self.lma_threshold
             true_lbl = np.asarray(p["TOS"]) > self.lma_threshold
+            scores.append(tos_pred.reshape(-1))
+            labels.append(true_lbl.reshape(-1))
             tp += int(np.sum(pred_lbl & true_lbl))
             fp += int(np.sum(pred_lbl & ~true_lbl))
             fn += int(np.sum(~pred_lbl & true_lbl))
@@ -99,4 +107,10 @@ class JointRegisterStrainmatLMAScheme(Scheme):
             perf[f"final-{dataset_name}/LMA_accuracy"] = correct / total
             perf[f"final-{dataset_name}/LMA_precision"] = tp / (tp + fp) if tp + fp else 0.0
             perf[f"final-{dataset_name}/LMA_recall"] = tp / (tp + fn) if tp + fn else 0.0
+            s = np.concatenate(scores)
+            y = np.concatenate(labels)
+            perf[f"final-{dataset_name}/LMA_auc"] = binary_auc(s, y)
+            f1, thr = threshold_sweep_f1(s, y)
+            perf[f"final-{dataset_name}/LMA_f1_best"] = f1
+            perf[f"final-{dataset_name}/LMA_threshold_best"] = thr
         return perf

@@ -68,3 +68,38 @@ def test_sector_error_identity():
     s, n = tos_sector_error(jnp.asarray(pred), jnp.asarray(gt))
     ref = np.abs(pred - gt).sum() / (5 * 126)
     assert np.isclose(float(s) / float(n), ref, rtol=1e-6)
+
+
+def test_binary_auc_rank_based():
+    from cardiax.losses.metrics import binary_auc
+    import numpy as np
+    # perfectly separable
+    assert binary_auc(np.array([1, 2, 3, 10, 11]), np.array([0, 0, 0, 1, 1])) == 1.0
+    # anti-separable
+    assert binary_auc(np.array([10, 11, 1, 2]), np.array([0, 0, 1, 1])) == 0.0
+    # one class absent -> 0.5
+    assert binary_auc(np.array([1.0, 2.0]), np.array([0, 0])) == 0.5
+    # ties split evenly
+    assert binary_auc(np.array([1.0, 1.0]), np.array([0, 1])) == 0.5
+
+
+def test_lma_metrics_nondegenerate_when_miscalibrated():
+    """The round-1 vacuity: predicted TOS systematically below threshold 20
+    gives recall 0, but the new threshold-free metrics stay informative."""
+    import numpy as np
+    from cardiax.train.schemes.joint_reg_strainmat_lma import (
+        JointRegisterStrainmatLMAScheme)
+    rng = np.random.default_rng(3)
+    scheme = JointRegisterStrainmatLMAScheme({"LMA_threshold": 20}, {})
+    preds = []
+    for _ in range(6):
+        tos = np.full(126, 3.0)
+        tos[40:70] = 25.0                       # true late arc
+        # prediction ranks sectors correctly but is scaled down 3x
+        tos_pred = tos / 3.0 + rng.normal(0, 0.2, 126)
+        preds.append({"TOS": tos, "TOS_pred": tos_pred})
+    perf = scheme.performance(preds, "val")
+    assert perf["final-val/LMA_recall"] == 0.0          # the vacuous metric
+    assert perf["final-val/LMA_auc"] > 0.95             # ranking is near-perfect
+    assert perf["final-val/LMA_f1_best"] > 0.9
+    assert perf["final-val/LMA_threshold_best"] < 20.0  # sweep found ~6.7

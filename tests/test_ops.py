@@ -290,3 +290,61 @@ class TestSpectralResize:
                         / jnp.sqrt(jnp.mean(u_full ** 2)))
         assert rel_rms < 0.15, f"band-limited displacement RMS dev {rel_rms:.3f}"
         assert float(jnp.abs(u_full).max()) > 1.0  # deformation non-trivial
+
+
+class TestTiledBandedWarp:
+    """Tiled-kernel parity (frames beyond one VMEM block, SURVEY.md 2.12 /
+    VERDICT round 1 #3). The VMEM threshold is monkeypatched so the tiled
+    grid runs at test-sized frames under the interpreter."""
+
+    def _data(self, seed=0, n=2, h=48, w=64, amp=6.0):
+        rng = np.random.default_rng(seed)
+        img = ndimage.gaussian_filter(rng.normal(size=(n, h, w)), 2.0).astype(np.float32)
+        disp = np.clip(ndimage.gaussian_filter(rng.normal(size=(n, 2, h, w)), 3.0) * 10,
+                       -amp, amp).astype(np.float32)
+        return jnp.asarray(img), jnp.asarray(disp)
+
+    def _tiled(self, monkeypatch):
+        import cardiax.ops.warp_pallas as wp
+        monkeypatch.setattr(wp, "_MAX_VMEM_PIXELS", 1024)
+        monkeypatch.setattr(wp, "_TILE_ROWS", 16)
+        return wp
+
+    def test_tile_plan(self):
+        from cardiax.ops.warp_pallas import _tile_plan
+        assert _tile_plan(1024, 1024, 8) == 64
+        assert _tile_plan(1000, 1024, 8) == 8      # 1000 % 64 != 0, % 8 == 0
+        assert _tile_plan(1001, 1024, 8) is None   # untileable -> XLA fallback
+
+    def test_tiled_forward_matches_reference(self, monkeypatch):
+        wp = self._tiled(monkeypatch)
+        img, disp = self._data()
+        assert img.shape[-2] * img.shape[-1] > wp._MAX_VMEM_PIXELS
+        ref = bilinear_warp(img, disp)
+        out = wp.bilinear_warp_banded(img, disp, radius=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_tiled_gradients_match_reference(self, monkeypatch):
+        wp = self._tiled(monkeypatch)
+        img, disp = self._data(seed=1)
+        g_ref = jax.grad(lambda d: jnp.sum(bilinear_warp(img, d) ** 2))(disp)
+        g_new = jax.grad(lambda d: jnp.sum(
+            wp.bilinear_warp_banded(img, d, radius=8, interpret=True) ** 2))(disp)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
+        gi_ref = jax.grad(lambda i: jnp.sum(bilinear_warp(i, disp) ** 2))(img)
+        gi_new = jax.grad(lambda i: jnp.sum(
+            wp.bilinear_warp_banded(i, disp, radius=8, interpret=True) ** 2))(img)
+        np.testing.assert_allclose(np.asarray(gi_new), np.asarray(gi_ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_tiled_edge_blocks_clamp_like_reference(self, monkeypatch):
+        """Large vertical displacement at the frame borders: the clamped
+        window + global-row hat weights must reproduce the gather's
+        border-clip exactly (the wraparound-is-zero-weight argument)."""
+        wp = self._tiled(monkeypatch)
+        img, disp = self._data(seed=3)
+        disp = disp.at[:, 0].set(6.9)   # push everything down, clamp at edge
+        ref = bilinear_warp(img, disp)
+        out = wp.bilinear_warp_banded(img, disp, radius=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -103,3 +103,30 @@ def test_eval_step_sharded_preds_match(tmp_path):
     _, pred1 = t1._eval_step(t1.params, a1)
     np.testing.assert_allclose(np.asarray(pred8["TOS"]),
                                np.asarray(pred1["TOS"]), rtol=1e-5, atol=1e-6)
+
+
+def test_shard_global_batch_single_process_semantics():
+    """Multi-host assembly path (parallel/distributed.py) on the 8-virtual-
+    device CPU backend: with process_count()==1 the host-local batch IS the
+    global batch; the result must be sharded over all 8 devices and
+    numerically identical to a plain device_put."""
+    from cardiax.parallel.distributed import (host_shard_bounds,
+                                              shard_global_batch)
+    mesh = get_mesh((8,))
+    batch = {"x": np.arange(8 * 4, dtype=np.float32).reshape(8, 4),
+             "ids": ["a"] * 8}
+    out = shard_global_batch(batch, mesh)
+    assert len(out["x"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+    assert out["ids"] == batch["ids"]
+    # the same array feeds a jitted psum-style reduction correctly
+    total = jax.jit(lambda a: a.sum())(out["x"])
+    assert float(total) == float(batch["x"].sum())
+    assert host_shard_bounds(10) == (0, 10)
+
+
+def test_shard_global_batch_misuse_error():
+    from cardiax.parallel.distributed import shard_global_batch
+    mesh = get_mesh((8,))
+    with pytest.raises(ValueError, match="cannot tile the mesh 'data' axis"):
+        shard_global_batch({"x": np.zeros((3, 2), np.float32)}, mesh)
