@@ -122,7 +122,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     # 6. inference
     results: Dict[str, Any] = {"models": trained_models}
     saving_dir = Path(saving.get("saving_dir", "./test_results"))
-    for target in ("val", "test"):
+    extra_targets = tuple(config.get("others", {}).get("final_eval_datasets", ()))
+    for target in ("val", "test") + extra_targets:
         if target not in datasets or len(datasets[target]) == 0:
             continue
         preds, perf, tracker = trainer.test(
