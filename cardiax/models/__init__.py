@@ -68,6 +68,7 @@ def _build_registration(cfg: Dict[str, Any]) -> ModelBundle:
         fluid_power=int(cfg.get("fluid_power", 2)),
         n_integration_steps=int(cfg.get("n_integration_steps", 5)),
         shoot_downsample=int(cfg.get("shoot_downsample", 2)),
+        reg_half_res=bool(cfg.get("reg_half_res", True)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))
@@ -96,6 +97,7 @@ def _build_joint_register_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
         gamma=float(cfg.get("gamma", 1.0)),
         n_integration_steps=int(cfg.get("n_integration_steps", 5)),
         shoot_downsample=int(cfg.get("shoot_downsample", 2)),
+        reg_half_res=bool(cfg.get("reg_half_res", True)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))

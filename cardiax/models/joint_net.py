@@ -51,6 +51,7 @@ class JointRegisterStrainMatNet(nn.Module):
     fluid_power: int = 2
     n_integration_steps: int = 5
     shoot_downsample: int = 2
+    reg_half_res: bool = True
     strain_features: int = 16
 
     @nn.compact
@@ -91,7 +92,8 @@ class JointRegisterStrainMatNet(nn.Module):
         tar = tar_vol.reshape(b * p, 1, h, w)
         x = jnp.concatenate([src, tar], axis=1)
         x = jnp.moveaxis(x, 1, -1)
-        m0 = MomentumUNet(self.reg_features, self.reg_levels, name="momentum_unet")(x)
+        m0 = MomentumUNet(self.reg_features, self.reg_levels,
+                          half_res=self.reg_half_res, name="momentum_unet")(x)
         m0 = jnp.moveaxis(m0, -1, 1)                          # (B*P, 2, H, W)
         u_inv, v0 = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,

@@ -39,13 +39,15 @@ class RegistrationNet(nn.Module):
     fluid_power: int = 2
     n_integration_steps: int = 5
     shoot_downsample: int = 2
+    reg_half_res: bool = True
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tar: jnp.ndarray,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
         x = jnp.concatenate([src, tar], axis=1)          # (B, 2, H, W) NCHW
         x = jnp.moveaxis(x, 1, -1)                        # NHWC for the UNet
-        m0 = MomentumUNet(self.features, self.n_levels)(x)
+        m0 = MomentumUNet(self.features, self.n_levels,
+                          half_res=self.reg_half_res)(x)
         m0 = jnp.moveaxis(m0, -1, 1)                      # (B, 2, H, W)
         u_inv, v0 = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,

@@ -27,15 +27,30 @@ class ConvBlock(nn.Module):
 
 
 class MomentumUNet(nn.Module):
-    """Input NHWC (B, H, W, 2) [src, tar] -> momentum (B, H, W, 2) [my, mx]."""
+    """Input NHWC (B, H, W, 2) [src, tar] -> momentum (B, H, W, 2) [my, mx].
+
+    ``half_res``: run the whole encoder-decoder at H/2 x W/2 behind a learned
+    stride-2 stem and spectrally upsample the momentum head back to full
+    resolution. The fluid metric K = (gamma - alpha*Lap)^-power kills the
+    frequencies a half-res grid cannot represent, so for sane metrics the
+    reachable velocity fields are (near-)identical while the conv stack — the
+    train step's largest cost at full res — shrinks ~4x. Accuracy
+    qualification in STATUS.md.
+    """
     features: int = 16
     n_levels: int = 3
+    half_res: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h_full, w_full = x.shape[1], x.shape[2]
         x = x.astype(jnp.bfloat16)
-        skips = []
         f = self.features
+        half = self.half_res and h_full % 2 == 0 and w_full % 2 == 0 \
+            and min(h_full, w_full) >= 4 * (2 ** self.n_levels)
+        if half:
+            x = ConvBlock(f, stride=2)(x)                         # learned stem
+        skips = []
         for lvl in range(self.n_levels):
             x = ConvBlock(f * (2 ** lvl))(x)
             skips.append(x)
@@ -53,4 +68,9 @@ class MomentumUNet(nn.Module):
         # zero-init the momentum head: shooting starts from identity at init,
         # which keeps early training stable (standard diffeomorphic-reg trick)
         m = nn.Conv(2, (3, 3), kernel_init=nn.initializers.zeros)(x)
+        if half:
+            from cardiax.ops.fluid_metric import spectral_resize
+            m = jnp.moveaxis(m, -1, 1)                            # (B, 2, h, w)
+            m = spectral_resize(m, (h_full, w_full))
+            m = jnp.moveaxis(m, 1, -1)
         return m
