@@ -169,13 +169,16 @@ def augment_datum(datum: Dict[str, Any], data_config: Dict[str, Any]) -> List[Di
         sectors = [0]
 
     augmented: List[Dict[str, Any]] = []
-    for sy in shifts_y:
-        for sx in shifts_x:
-            for ns in sectors:
+    # rotation (native image rotation of every array) is the expensive leg:
+    # compute each sector rotation once and share it across the cheap
+    # np.roll translations
+    for ns in sectors:
+        rotated = rotate_by_sectors(datum, ns, n_sectors) if ns else datum
+        for sy in shifts_y:
+            for sx in shifts_x:
                 if sy == 0 and sx == 0 and ns == 0:
                     continue
-                a = rotate_by_sectors(datum, ns, n_sectors) if ns else datum
-                a = translate(a, sy, sx) if (sy or sx) else copy.copy(a)
+                a = translate(rotated, sy, sx) if (sy or sx) else copy.copy(rotated)
                 a["augmented"] = True
                 augmented.append(a)
     return augmented

@@ -386,7 +386,10 @@ def _resize_slice_images(data: List[Dict[str, Any]], size=128
         for k in _FIELD_PLANE_KEYS:
             if k in d and isinstance(d[k], np.ndarray) and d[k].ndim >= 2:
                 arr = d[k]
-                scale = th / arr.shape[0]
+                # displacement VALUES rescale with their own axis: X (column)
+                # displacements by the column zoom, Y by the row zoom
+                scale = (tw if k.endswith("_X") else th) / \
+                    arr.shape[1 if k.endswith("_X") else 0]
                 zoom = [th / arr.shape[0], tw / arr.shape[1]] + [1] * (arr.ndim - 2)
                 d[k] = ndimage.zoom(arr, zoom, order=1) * scale
     return data

@@ -16,6 +16,31 @@ from typing import Any, Dict
 import numpy as np
 
 
+def _load_params_into(trainer, networks, datasets, config, path) -> None:
+    """Initialize a param template from one example batch, then overwrite it
+    with persisted msgpack exports (shared by the warm-start and
+    inference-only paths). ``path`` may be a directory of model-<name>.msgpack
+    files or a single msgpack file."""
+    from pathlib import Path as _P
+
+    from cardiax.io.export import load_model_params
+    pdir = _P(path)
+    src_name = "train" if len(datasets.get("train", ())) else \
+        next(n for n, d in datasets.items() if len(d))
+    example = next(iter(trainer.scheme.make_loader(
+        datasets[src_name], int(config["training"].get("batch_size", 10)),
+        shuffle=False)))
+    trainer.setup(networks, example, steps_per_epoch=1,
+                  seed=int(config["training"].get("seed", 2434)))
+    for name, bundle in networks.items():
+        mp = pdir / f"model-{name}.msgpack" if pdir.is_dir() else pdir
+        if mp.exists():
+            loaded = load_model_params(mp, trainer.params[name])
+            trainer.params[name] = loaded
+            bundle.params = loaded
+            print(f"loaded params for {name} from {mp}")
+
+
 def run(config: Dict[str, Any]) -> Dict[str, Any]:
     import jax
     from cardiax.data import load_data
@@ -62,22 +87,7 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     pretrained = config["training"].get("load_pretrained_model", False)
     pre_path = config["training"].get("pretrained_model_path")
     if pretrained and str(pretrained).lower() not in ("false", "f") and pre_path:
-        from cardiax.io.export import load_model_params
-        src_name = "train" if "train" in datasets and len(datasets["train"]) \
-            else next(iter(datasets))
-        example = next(iter(trainer.scheme.make_loader(
-            datasets[src_name], int(config["training"].get("batch_size", 10)),
-            shuffle=False)))
-        trainer.setup(networks, example, steps_per_epoch=1,
-                      seed=int(config["training"].get("seed", 2434)))
-        pdir = Path(pre_path)
-        for name, bundle in networks.items():
-            mp = pdir / f"model-{name}.msgpack" if pdir.is_dir() else pdir
-            if mp.exists():
-                loaded = load_model_params(mp, trainer.params[name])
-                trainer.params[name] = loaded
-                bundle.params = loaded
-                print(f"warm start: loaded params for {name} from {mp}")
+        _load_params_into(trainer, networks, datasets, config, pre_path)
 
     if not inference_only:
         try:
@@ -101,22 +111,11 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         trained_models = {f"{k}_model": v for k, v in networks.items()}
     else:
         # inference-only: init a template then load persisted params over it
-        # (the reference's load path is effectively absent — SURVEY.md 5.4)
-        from cardiax.io.export import load_model_params
-        sd = Path(saving.get("saving_dir", "./test_results"))
-        eval_name = "test" if "test" in datasets else next(iter(datasets))
-        example = next(iter(trainer.scheme.make_loader(
-            datasets[eval_name], int(config["training"].get("batch_size", 10)),
-            shuffle=False)))
-        trainer.setup(networks, example, steps_per_epoch=1,
-                      seed=int(config["training"].get("seed", 2434)))
-        for name, bundle in networks.items():
-            mp = sd / f"model-{name}.msgpack"
-            if mp.exists():
-                loaded = load_model_params(mp, trainer.params[name])
-                trainer.params[name] = loaded
-                bundle.params = loaded
-                print(f"loaded params for {name} from {mp}")
+        # (the reference's load path is effectively absent — SURVEY.md 5.4);
+        # skip the re-load when a warm start already populated the params
+        if not (pretrained and pre_path):
+            _load_params_into(trainer, networks, datasets, config,
+                              saving.get("saving_dir", "./test_results"))
         trained_models = {f"{k}_model": v for k, v in networks.items()}
 
     # 6. inference

@@ -69,26 +69,8 @@ def _shifted(img, d: int, e: int):
 
 
 def _coords(disp_y, disp_x, h: int, w: int, radius: int):
-    """Clamped sample coordinates and bilinear pieces."""
-    # Mosaic requires integer iota; cast after
-    ii = jax.lax.broadcasted_iota(jnp.int32, disp_y.shape, 0).astype(jnp.float32)
-    jj = jax.lax.broadcasted_iota(jnp.int32, disp_y.shape, 1).astype(jnp.float32)
-    r = float(radius - 1)
-    cy = jnp.clip(ii + jnp.clip(disp_y, -r, r), 0.0, h - 1.0)
-    cx = jnp.clip(jj + jnp.clip(disp_x, -r, r), 0.0, w - 1.0)
-    y0 = jnp.floor(cy)
-    x0 = jnp.floor(cx)
-    fy = cy - y0
-    fx = cx - x0
-    y1 = jnp.minimum(y0 + 1.0, h - 1.0)
-    x1 = jnp.minimum(x0 + 1.0, w - 1.0)
-    # gradient masks: zero d/d coord wherever the radius clamp or the border
-    # clip saturated (matches autodiff-through-clip of the XLA reference)
-    my = jnp.where((jnp.abs(disp_y) <= r) & (ii + disp_y >= 0.0)
-                   & (ii + disp_y <= h - 1.0), 1.0, 0.0)
-    mx = jnp.where((jnp.abs(disp_x) <= r) & (jj + disp_x >= 0.0)
-                   & (jj + disp_x <= w - 1.0), 1.0, 0.0)
-    return ii, jj, y0, y1, fy, x0, x1, fx, my, mx
+    """Clamped sample coordinates and bilinear pieces (local row indices)."""
+    return _window_coords(disp_y, disp_x, 0, h, w, radius)
 
 
 def _hat(r_abs, a0, a1, f):
@@ -316,13 +298,16 @@ def _tile_plan(h: int, w: int, radius: int):
 
 
 def _window_coords(dy, dx, r0, h: int, w: int, radius: int, ii=None):
-    """_coords with a GLOBAL row index (r0 + local row) for row-band blocks.
-    Pass ``ii`` explicitly for ALIGNED windows, whose tail rows wrap to
-    absolute rows ABOVE r0 (see `_tiled_transpose_kernel`)."""
+    """Clamped sample coordinates, bilinear pieces, and clip-saturation masks,
+    with row index = r0 + local row (r0=0 for full-frame blocks; the tile row
+    offset for row-band blocks). Pass ``ii`` explicitly for ALIGNED windows,
+    whose tail rows wrap to absolute rows ABOVE r0
+    (see `_tiled_transpose_kernel`)."""
     tr = dy.shape[0]
     if ii is None:
+        # Mosaic requires integer iota; cast after
         ii = (jax.lax.broadcasted_iota(jnp.int32, (tr, w), 0)
-              .astype(jnp.float32)) + r0.astype(jnp.float32)
+              .astype(jnp.float32)) + jnp.asarray(r0, jnp.float32)
     jj = jax.lax.broadcasted_iota(jnp.int32, (tr, w), 1).astype(jnp.float32)
     r = float(radius - 1)
     cy = jnp.clip(ii + jnp.clip(dy, -r, r), 0.0, h - 1.0)
@@ -364,18 +349,28 @@ def _tiled_tap_kernel(dy_ref, dx_ref, img_ref, out_ref, win_ref, sem, *,
         return _dhat(ii + d, y0, y1) if mode == "ddy" \
             else _hat(ii + d, y0, y1, fy)
 
+    unroll = (2 * radius + 1) ** 2 <= _UNROLL_TAP_LIMIT_NOPRE
     acc = jnp.zeros((tile_rows, w), jnp.float32)
     for e in range(-radius, radius + 1):
         rx = jj + e
         wx = _dhat(rx, x0, x1) if mode == "ddx" else _hat(rx, x0, x1, fx)
         s = pltpu.roll(base, -e % w, axis=1) if e else base
-        b = jnp.zeros((tile_rows, w), jnp.float32)
-        for d in range(-radius, radius + 1):
-            # rolled[i] = base[i + d] = img[r0 + i + d]; wrapped rows are
-            # out-of-image and get hat weight 0 (global-row keyed)
-            rolled = pltpu.roll(s, -d % win, axis=0)[:tile_rows] if d \
-                else s[:tile_rows]
-            b = b + wy_at(d) * rolled
+        if unroll:
+            b = jnp.zeros((tile_rows, w), jnp.float32)
+            for d in range(-radius, radius + 1):
+                # rolled[i] = base[i + d] = img[r0 + i + d]; wrapped rows are
+                # out-of-image and get hat weight 0 (global-row keyed)
+                rolled = pltpu.roll(s, -d % win, axis=0)[:tile_rows] if d \
+                    else s[:tile_rows]
+                b = b + wy_at(d) * rolled
+        else:    # big radii: fori_loop + dynamic rotate (bounds scoped VMEM)
+            def body(k, b, s=s):
+                dd = k - radius
+                rolled = pltpu.roll(s, jnp.mod(-dd, win), axis=0)[:tile_rows]
+                return b + wy_at(dd.astype(jnp.float32)) * rolled
+
+            b = jax.lax.fori_loop(0, 2 * radius + 1, body,
+                                  jnp.zeros((tile_rows, w), jnp.float32))
         acc = acc + wx * b
     if mode == "ddy":
         acc = acc * my
@@ -420,21 +415,33 @@ def _tiled_transpose_kernel(g_ref, dy_ref, dx_ref, out_ref,
         dyw, dxw, r0, h, w, radius, ii=abs_row)
     out_iota = (jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w), 0)
                 .astype(jnp.float32)) + r0.astype(jnp.float32)
+    unroll = (2 * radius + 1) ** 2 <= _UNROLL_TAP_LIMIT_NOPRE
     acc = jnp.zeros((tile_rows, w), jnp.float32)
     for e in range(-radius, radius + 1):
         wx = _hat(jj + e, x0, x1, fx)
         a_e = g * wx
-        b_e = jnp.zeros((tile_rows, w), jnp.float32)
-        for d in range(-radius, radius + 1):
+
+        def tap(d, shift, b_e, a_e=a_e):
             # out(r, s) += w(r-d, s-e) g(r-d, s-e): source row r-d lives at
             # aligned index (r - r0) - d; mask rows whose absolute source row
             # falls outside the image (those reads wrapped)
             wy = _hat(ii + d, y0, y1, fy)
-            contrib = pltpu.roll(wy * a_e, d % win, axis=0)[:tile_rows] if d \
-                else (wy * a_e)[:tile_rows]
+            rolled = pltpu.roll(wy * a_e, shift, axis=0)[:tile_rows]
             src_row = out_iota - d
             valid = jnp.where((src_row >= 0.0) & (src_row <= h - 1.0), 1.0, 0.0)
-            b_e = b_e + contrib * valid
+            return b_e + rolled * valid
+
+        if unroll:
+            b_e = jnp.zeros((tile_rows, w), jnp.float32)
+            for d in range(-radius, radius + 1):
+                b_e = tap(float(d), d % win, b_e)     # static rolls
+        else:    # big radii: fori_loop + dynamic rotate (bounds scoped VMEM)
+            def body(k, b):
+                dd = k - radius
+                return tap(dd.astype(jnp.float32), jnp.mod(dd, win), b)
+
+            b_e = jax.lax.fori_loop(0, 2 * radius + 1, body,
+                                    jnp.zeros((tile_rows, w), jnp.float32))
         acc = acc + (pltpu.roll(b_e, e % w, axis=1) if e else b_e)
     out_ref[:] = acc
 
@@ -515,9 +522,8 @@ def _banded_bwd(radius, interpret, res, g):
                                      interpret, tr)
         g_disp = jnp.stack([g32 * ddy, g32 * ddx], axis=1)
         return g_img.astype(img.dtype), g_disp.astype(disp.dtype)
-    fused_limit = _UNROLL_TAP_LIMIT if _precompute_wys_ok(h, w, radius, 2) \
-        else _UNROLL_TAP_LIMIT_NOPRE
-    if (2 * radius + 1) ** 2 <= fused_limit:
+    fused_ok, _ = _unroll_plan(h, w, radius, n_lists=2)
+    if fused_ok:
         g_img, g_dy, g_dx = _run_fused_bwd(args + (g32,), radius, interpret)
         g_disp = jnp.stack([g_dy, g_dx], axis=1)
     else:

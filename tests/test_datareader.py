@@ -161,3 +161,18 @@ def test_interpolated_alignment_mismatch_warns_and_skips(tmp_path, capsys):
         p, {"loading": {"use_interpolated_data": True}})
     assert pairs == []
     assert "does not match" in capsys.readouterr().out
+
+
+def test_rectangular_resize_scales_displacements_per_axis(tmp_path):
+    """X (column) displacements scale by the column zoom, Y by the row zoom."""
+    from cardiax.data.datareader import _resize_slice_images
+    h, w = 32, 32
+    data = [{"LV_masks": np.ones((h, w), np.float32),
+             "DENSE_displacement_field_X": np.full((h, w), 4.0, np.float32),
+             "DENSE_displacement_field_Y": np.full((h, w), 4.0, np.float32)}]
+    out = _resize_slice_images(data, (24, 16))        # row zoom .75, col zoom .5
+    # interior only: ndimage.zoom zero-extrapolates the trailing edge
+    np.testing.assert_allclose(
+        out[0]["DENSE_displacement_field_X"][1:-1, 1:-1], 2.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        out[0]["DENSE_displacement_field_Y"][1:-1, 1:-1], 3.0, rtol=1e-5)

@@ -348,3 +348,18 @@ class TestTiledBandedWarp:
         ref = bilinear_warp(img, disp)
         out = wp.bilinear_warp_banded(img, disp, radius=8, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_tiled_large_radius_fori_path(self, monkeypatch):
+        """radius 16 (1089 taps > unroll limit) exercises the tiled kernels'
+        fori_loop + dynamic-rotate fallback — the path real TPUs take for the
+        final image warp on large frames."""
+        wp = self._tiled(monkeypatch)
+        img, disp = self._data(seed=4, h=64, w=64, amp=10.0)
+        ref = bilinear_warp(img, disp)
+        out = wp.bilinear_warp_banded(img, disp, radius=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        g_ref = jax.grad(lambda d: jnp.sum(bilinear_warp(img, d) ** 2))(disp)
+        g_new = jax.grad(lambda d: jnp.sum(
+            wp.bilinear_warp_banded(img, d, radius=16, interpret=True) ** 2))(disp)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
