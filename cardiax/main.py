@@ -122,7 +122,11 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     results: Dict[str, Any] = {"models": trained_models}
     saving_dir = Path(saving.get("saving_dir", "./test_results"))
     extra_targets = tuple(config.get("others", {}).get("final_eval_datasets", ()))
-    for target in ("val", "test") + extra_targets:
+    # reference --test flag: training.test=False skips final inference
+    do_test = config["training"].get("test", True)
+    targets = ("val", "test") + extra_targets \
+        if do_test not in (False, "false", "False", "f") else ()
+    for target in targets:
         if target not in datasets or len(datasets[target]) == 0:
             continue
         preds, perf, tracker = trainer.test(

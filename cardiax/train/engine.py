@@ -255,6 +255,12 @@ class TrainerEngine:
         seed = int(cfg.get("seed", 2434))
         tolerance = int(cfg.get("epochs_without_improvement_tolerance", 50))
         test_as_val = bool(cfg.get("test_as_val", False))
+        # which logged metric drives early stopping / best-params (reference
+        # --early-stop-metric); default: total val loss, else total train loss
+        early_stop_metric = cfg.get("early_stop_metric")
+        # validate every k epochs (reference others.valid_period)
+        valid_period = max(1, int(self.full_config.get("others", {})
+                                  .get("valid_period", 1)))
 
         train_ds = datasets["train"]
         if len(train_ds) == 0:
@@ -347,7 +353,8 @@ class TrainerEngine:
 
             # ---- val ----
             epoch_total_val = None
-            if val_loader is not None:
+            if val_loader is not None and (epoch % valid_period == 0
+                                           or epoch == epochs - 1):
                 vaccum: Dict[str, float] = {}
                 nv = 0
                 for batch in val_loader:
@@ -392,9 +399,18 @@ class TrainerEngine:
                 ckpt.save(epoch, self.params, self.opt_states,
                           extra={"epoch": epoch, "best_val": best_val})
 
-            # ---- early stopping on total val loss (reference :238-263) ----
-            monitor = epoch_total_val if epoch_total_val is not None \
-                else epoch_metrics.get(f"{prefix}train/total_loss", float("inf"))
+            # ---- early stopping on total val loss (reference :238-263), or
+            # on the configured early_stop_metric when present this epoch ----
+            if early_stop_metric is not None:
+                key = early_stop_metric if early_stop_metric.startswith(prefix) \
+                    else f"{prefix}{early_stop_metric}"
+                monitor = epoch_metrics.get(key)
+            elif val_loader is not None:
+                monitor = epoch_total_val   # None on valid_period-skipped epochs
+            else:
+                monitor = epoch_metrics.get(f"{prefix}train/total_loss", float("inf"))
+            if monitor is None:
+                continue   # no early-stop signal this epoch (skipped val)
             if monitor < best_val:
                 best_val = monitor
                 best_params = jax.tree_util.tree_map(jnp.copy, self.params)

@@ -127,3 +127,39 @@ def test_average_performance_dict():
              {"fold1/final-val/sector_error": 20.0}]
     avg = get_average_performance_dict(folds)
     assert avg["average/final-val/sector_error"] == pytest.approx(15.0)
+
+
+def test_valid_period_and_early_stop_metric(pipeline_cfg):
+    """others.valid_period skips val epochs; early_stop_metric selects the
+    monitored metric (reference --valid-period / --early-stop-metric)."""
+    import copy
+    cfg = copy.deepcopy(pipeline_cfg)
+    cfg["training"]["epochs"] = 6
+    cfg["training"]["early_stop_metric"] = "val/TOS_regression"
+    cfg["others"]["valid_period"] = 3
+    data = load_data(cfg["data"])
+    splits = split_data(data, cfg["data_split"])
+    datasets = build_datasets(cfg["datasets"], splits, cfg)
+    networks = {name: build_model(mc) for name, mc in cfg["networks"].items()}
+    trainer = build_trainer(cfg["training"], None, cfg)
+    trained, tracker = trainer.train(models=networks, datasets=datasets,
+                                     trainer_config=cfg["training"],
+                                     full_config=cfg)
+    hist = trained["train_loss_dict"]
+    val_epochs = len(hist.get("val/TOS_regression", []))
+    train_epochs = len(hist["train/total_loss"])
+    assert train_epochs == 6
+    assert val_epochs == 3          # epochs 0, 3, and the final epoch 5
+    assert trained["best_epoch"] in (0, 3, 5)  # only evaluated epochs qualify
+
+
+def test_training_test_false_skips_inference(pipeline_cfg, tmp_path):
+    import copy
+    from cardiax.main import run
+    cfg = copy.deepcopy(pipeline_cfg)
+    cfg["training"]["epochs"] = 1
+    cfg["training"]["test"] = False
+    cfg["saving"]["saving_dir"] = str(tmp_path)
+    results = run(cfg)
+    assert "val_performance" not in results
+    assert "test_performance" not in results
