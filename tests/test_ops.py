@@ -88,6 +88,47 @@ class TestFluidMetric:
         np.testing.assert_allclose(np.asarray(v), 1.0, atol=1e-5)  # K has DC gain 1/gamma^p
 
 
+class TestFluidMetricMatmulPath:
+    """The real-DFT matmul path (grids <= _MM_MAX_SIDE) must match the FFT
+    path to float32 roundoff — same diagonal operator, different lowering."""
+
+    def test_sharp_flat_match_fft(self, monkeypatch):
+        import cardiax.ops.fluid_metric as fm
+        rng = np.random.default_rng(0)
+        for (h, w) in ((64, 64), (32, 48), (17, 23)):
+            x = jnp.asarray(rng.normal(size=(3, 2, h, w)).astype(np.float32))
+            a_sharp, a_flat = fm.sharp(x, 2.0, 1.0, 2), fm.flat(x, 2.0, 1.0, 2)
+            monkeypatch.setattr(fm, "_MM_MAX_SIDE", 0)   # force FFT
+            b_sharp, b_flat = fm.sharp(x, 2.0, 1.0, 2), fm.flat(x, 2.0, 1.0, 2)
+            monkeypatch.undo()
+            np.testing.assert_allclose(np.asarray(a_sharp), np.asarray(b_sharp),
+                                       rtol=0, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(a_flat), np.asarray(b_flat),
+                                       rtol=0, atol=1e-3)  # flat amplifies ~(1+8a)^2
+
+    def test_resize_matmul_matches_fft(self, monkeypatch):
+        import cardiax.ops.fluid_metric as fm
+        rng = np.random.default_rng(1)
+        for (h, w, h2, w2) in ((64, 64, 32, 32), (32, 32, 64, 64),
+                               (48, 64, 24, 32), (33, 47, 17, 23),
+                               (17, 23, 33, 47), (64, 64, 63, 65),
+                               (64, 64, 64, 64)):
+            x = jnp.asarray(rng.normal(size=(2, h, w)).astype(np.float32))
+            a = fm.spectral_resize(x, (h2, w2))
+            monkeypatch.setattr(fm, "_MM_MAX_SIDE", 0)
+            b = fm.spectral_resize(x, (h2, w2))
+            monkeypatch.undo()
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2e-5)
+
+    def test_resize_adjoint_identity(self):
+        # symmetric band rule: R_down == (n2/n1) * R_up^T
+        from cardiax.ops.fluid_metric import _band_resize_matrix
+        down = _band_resize_matrix(64, 32)
+        up = _band_resize_matrix(32, 64)
+        np.testing.assert_allclose(down, (32 / 64) * up.T, atol=1e-6)
+
+
 class TestShooting:
     def test_zero_momentum(self):
         m0 = jnp.zeros((1, 2, H, W))

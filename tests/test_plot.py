@@ -125,3 +125,67 @@ def test_strainmat_figure(tmp_path):
     p2 = tmp_path / "reg.png"
     fig2.savefig(p2)
     assert p2.stat().st_size > 1000
+
+
+def _fake_patient_slices(n_slices=4, n_sectors=126, tos_base=20.0):
+    """Patient slice stack with spl2patchSA meshes + synthetic TOS rows."""
+    from cardiax.utils.dense import spl2patchSA
+    th = np.linspace(-np.pi, np.pi, 40, endpoint=False)
+    data = []
+    for i in range(n_slices):
+        r_out, r_in = 12.0 - i, 6.0 - 0.5 * i
+        epi = np.column_stack([r_out * np.cos(th) + 64, r_out * np.sin(th) + 64])
+        endo = np.column_stack([r_in * np.cos(th) + 64, r_in * np.sin(th) + 64])
+        fv = spl2patchSA({
+            "ROIInfo": {"RestingContour": [epi, endo]},
+            "AnalysisInfo": {"PositionA": np.array([64.0, 64.0]),
+                             "PositionB": np.array([64.0, 50.0]),
+                             "Clockwise": True},
+        })
+        tos = tos_base + 5.0 * np.cos(np.linspace(0, 2 * np.pi, n_sectors))
+        data.append({"AnalysisFv": fv, "TOSInterploated": tos[None],
+                     "SequenceInfo": float(10 * i)})
+    return data
+
+
+def test_tos_3d_plot_interp():
+    from cardiax.plot.tos_surface import tos_3d_plot_interp
+    data = _fake_patient_slices()
+    out = tos_3d_plot_interp(data, n_interp=25, title="patient")
+    assert out["x"].shape == (25, 126) and out["tos"].shape == (25, 126)
+    assert out["has_tos"]
+    # nearest-TOS interpolation only re-uses existing rows
+    for row in out["tos"]:
+        assert any(np.allclose(row, d["TOSInterploated"][0]) for d in data)
+    # align_centers pins every interpolated ring on the patient centroid
+    assert np.ptp(out["x"].mean(axis=1)) < 1e-6
+    # z ordering survives shuffled slice input
+    shuffled = [data[2], data[0], data[3], data[1]]
+    out2 = tos_3d_plot_interp(shuffled, n_interp=25)
+    np.testing.assert_allclose(out2["z"], out["z"])
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_tos_3d_plot_no_tos_colors_by_z():
+    from cardiax.plot.tos_surface import tos_3d_plot_interp
+    data = _fake_patient_slices(n_slices=2)
+    for d in data:
+        d.pop("TOSInterploated")
+    out = tos_3d_plot_interp(data, n_interp=10)
+    assert not out["has_tos"]
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_text3d_adds_patch():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from cardiax.plot.tos_surface import text3d
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    before = len(ax.patches)
+    text3d(ax, (1.0, 2.0, 3.0), "S1", size=1.0)
+    assert len(ax.patches) == before + 1
+    plt.close(fig)
