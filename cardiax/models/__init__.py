@@ -98,6 +98,7 @@ def _build_joint_register_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
         n_integration_steps=int(cfg.get("n_integration_steps", 5)),
         shoot_downsample=int(cfg.get("shoot_downsample", 2)),
         reg_half_res=bool(cfg.get("reg_half_res", True)),
+        strain_downsample=int(cfg.get("strain_downsample", 2)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))

@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from cardiax.models.strain_net import ResNet3DStrainHead
 from cardiax.models.unet import MomentumUNet
+from cardiax.ops.fluid_metric import spectral_resize
 from cardiax.ops.shooting import deform_image, expmap_shooting
 from cardiax.ops.svd_smooth import subspace_denoise
 
@@ -52,6 +53,7 @@ class JointRegisterStrainMatNet(nn.Module):
     n_integration_steps: int = 5
     shoot_downsample: int = 2
     reg_half_res: bool = True
+    strain_downsample: int = 2
     strain_features: int = 16
 
     @nn.compact
@@ -99,7 +101,7 @@ class JointRegisterStrainMatNet(nn.Module):
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
             n_steps=self.n_integration_steps,
             shoot_downsample=self.shoot_downsample)
-        deformed = deform_image(src, u_inv)                   # (B*P, 1, H, W)
+        deformed = deform_image(src, u_inv, img_const=True)                   # (B*P, 1, H, W)
 
         # 2. regroup displacements into a motion video for the strain head
         disp_video = u_inv.reshape(b, p, 2, h, w)
@@ -107,7 +109,19 @@ class JointRegisterStrainMatNet(nn.Module):
             mask0 = src_vol[:, 0, 0]                          # shared frame 0
             strain = self._analytic_strain(disp_video, mask0)
         else:                                                  # "ResNet3D"
-            video = jnp.moveaxis(disp_video, 2, -1)           # (B, P, H, W, 2)
+            # The displacement field is band-limited by the fluid metric, so
+            # the learned head can consume it on a downsampled grid (same
+            # argument as shoot_downsample/reg_half_res; params are identical
+            # — only activation sizes shrink ahead of the global pool).
+            # Opt out with strain_downsample: 1.
+            ds = int(self.strain_downsample)
+            if ds > 1 and h % ds == 0 and w % ds == 0 \
+                    and min(h, w) >= 16 * ds:
+                small = spectral_resize(u_inv, (h // ds, w // ds))
+                head_video = small.reshape(b, p, 2, h // ds, w // ds)
+            else:
+                head_video = disp_video
+            video = jnp.moveaxis(head_video, 2, -1)           # (B, P, h, w, 2)
             strain = ResNet3DStrainHead(
                 self.n_sectors, self.strain_features,
                 out_frames=self.n_strain_matrix_frames, name="strain_head")(video)

@@ -53,7 +53,7 @@ class RegistrationNet(nn.Module):
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
             n_steps=self.n_integration_steps,
             shoot_downsample=self.shoot_downsample)
-        deformed = deform_image(src, u_inv)
+        deformed = deform_image(src, u_inv, img_const=True)
         return {
             "displacement": u_inv,
             "velocity": v0,

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from cardiax.ops.fluid_metric import sharp, spectral_resize
 from cardiax.ops.warp import bilinear_warp, warp_vector_field
-from cardiax.ops.warp_pallas import bilinear_warp_banded
+from cardiax.ops.warp_pallas import (bilinear_warp_banded,
+                                     bilinear_warp_banded_multi)
 
 
 def _grad_hw(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -120,10 +121,14 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
     dt = 1.0 / n_steps
     v0 = sharp(m0, alpha, gamma, power)
     # per-step displacement is dt*v (a fraction of a pixel for sane metrics):
-    # a small band radius suffices and cuts the tap loop ~4x
+    # a small band radius suffices and cuts the tap loop ~4x. The 2-channel
+    # u_inv field is warped by ONE multi-channel kernel sharing the tap
+    # weights across channels (and channel-summing the disp cotangent).
     step_radius = min(4, warp_radius) if warp_radius is not None else None
-    wf = (lambda i, d: bilinear_warp_banded(i, d, radius=step_radius)) \
-        if warp_radius is not None else None
+    warp_vec = (lambda f, d: bilinear_warp_banded_multi(f, d,
+                                                        radius=step_radius)) \
+        if warp_radius is not None else \
+        (lambda f, d: warp_vector_field(f, d, None))
 
     def step(carry, _):
         m, u_inv = carry
@@ -132,7 +137,7 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
         # phi_inv_new(x) = phi_inv(x - dt v(x)) ; with phi_inv = id + u:
         # u_new(x) = -dt v(x) + u(x - dt v(x))
         back = -dt * v
-        u_inv_new = back + warp_vector_field(u_inv, back, wf)
+        u_inv_new = back + warp_vec(u_inv, back)
         m_new = m - dt * ad_star(v, m)
         return (m_new, u_inv_new), None
 
@@ -158,28 +163,37 @@ def expmap_svf(v: jnp.ndarray, n_squarings: int = 4,
     Returns displacement u with exp(v)(x) = x + u(x).
     """
     u = v / (2.0 ** n_squarings)
-    wf = (lambda i, d: bilinear_warp_banded(i, d, radius=warp_radius)) \
-        if warp_radius is not None else None
+    warp_vec = (lambda f, d: bilinear_warp_banded_multi(f, d,
+                                                        radius=warp_radius)) \
+        if warp_radius is not None else \
+        (lambda f, d: warp_vector_field(f, d, None))
 
     def square(u, _):
-        return u + warp_vector_field(u, u, wf), None
+        return u + warp_vec(u, u), None
 
     u, _ = jax.lax.scan(jax.checkpoint(square), u, None, length=n_squarings)
     return u
 
 
 def deform_image(img: jnp.ndarray, u_inv: jnp.ndarray,
-                 warp_radius: int | None = 8) -> jnp.ndarray:
+                 warp_radius: int | None = 8,
+                 img_const: bool = False) -> jnp.ndarray:
     """deformed(x) = img(x + u_inv(x)); img (B, C, H, W), u_inv (B, 2, H, W).
 
     The final deformation can exceed the per-step band, so the image warp
     uses a 2x radius band (clamped displacements beyond that are a mask
     leaving/entering-frame situation the reference's clip handles the same).
+
+    ``img_const=True`` declares that no cotangent w.r.t. ``img`` is needed
+    (the usual case: warping SOURCE DATA by a predicted deformation) — the
+    banded VJP then skips the d/d img transpose sweep entirely.
     """
-    b, c, h, w = img.shape
     if warp_radius is not None:
-        wf = lambda x, d: bilinear_warp_banded(x, d, radius=2 * warp_radius)
-    else:
-        wf = bilinear_warp
-    out = jnp.stack([wf(img[:, i], u_inv) for i in range(c)], axis=1)
+        return bilinear_warp_banded_multi(img, u_inv, radius=2 * warp_radius,
+                                          img_const=img_const)
+    if img_const:
+        img = jax.lax.stop_gradient(img)
+    b, c, h, w = img.shape
+    out = jnp.stack([bilinear_warp(img[:, i], u_inv) for i in range(c)],
+                    axis=1)
     return out

@@ -265,6 +265,254 @@ def _run(kernel, args, radius: int, interpret: bool, **kw):
 
 
 # --------------------------------------------------------------------------- #
+# Multi-channel kernels: C channels warped by ONE shared displacement          #
+# --------------------------------------------------------------------------- #
+# The shooting scan warps the 2-channel inverse-displacement field by the same
+# per-step back-displacement, and the final image warp samples every image
+# channel at the same coordinates. Per-channel dispatch recomputes the coords
+# and hat weights C times and (in the scan) materializes a broadcast of disp
+# to C*N; these kernels share one coordinate/weight computation across the
+# channel loop and accumulate the displacement cotangent over channels
+# IN-kernel. `_mc_disp_bwd_kernel` additionally drops the d/d img transpose
+# sweep entirely — the final image warp samples DATA (the cotangent w.r.t.
+# the source frames is discarded by the training step), which removes the
+# per-tap scatter roll (~1/3 of the backward tap work).
+
+
+def _mc_tap_kernel(img_ref, dy_ref, dx_ref, out_ref, *, radius: int,
+                   channels: int):
+    """Forward warp of (C, H, W) channels by one (H, W) displacement."""
+    h, w = dy_ref.shape
+    ii, jj, y0, y1, fy, x0, x1, fx, _, _ = _coords(
+        dy_ref[:], dx_ref[:], h, w, radius)
+    unroll, pre = _unroll_plan(h, w, radius, n_lists=1)
+    wy_at = lambda d: _hat(ii + d, y0, y1, fy)  # noqa: E731
+    if unroll and pre:
+        wys = [wy_at(d) for d in range(-radius, radius + 1)]
+        wy_at = lambda d: wys[d + radius]  # noqa: E731
+    imgs = [img_ref[c] for c in range(channels)]
+    accs = [jnp.zeros((h, w), jnp.float32) for _ in range(channels)]
+    for e in range(-radius, radius + 1):
+        wx = _hat(jj + e, x0, x1, fx)
+        ss = [_shifted(im, 0, e) for im in imgs]
+        bs = [jnp.zeros((h, w), jnp.float32) for _ in range(channels)]
+        if unroll:
+            for d in range(-radius, radius + 1):
+                wy = wy_at(d)
+                for c in range(channels):
+                    bs[c] = bs[c] + wy * _shifted(ss[c], d, 0)
+        else:
+            def body(k, bs, ss=ss):
+                dd = k - radius
+                wy = _hat(ii + dd.astype(jnp.float32), y0, y1, fy)
+                return tuple(b + wy * _row_shifted_dyn(s, dd, h, w)
+                             for b, s in zip(bs, ss))
+
+            bs = list(jax.lax.fori_loop(0, 2 * radius + 1, body, tuple(bs)))
+        for c in range(channels):
+            accs[c] = accs[c] + wx * bs[c]
+    for c in range(channels):
+        out_ref[c] = accs[c]
+
+
+def _mc_hoist(h, w, radius, ii, y0, y1, fy):
+    """Hoist the d-only vertical weights out of the tap loops: both lists if
+    they fit the scoped-VMEM budget, else the hat list only (the derivative
+    hat is 2 compares + a sub, cheap to recompute inline), else nothing."""
+    wy_at = lambda d: _hat(ii + d, y0, y1, fy)  # noqa: E731
+    dwy_at = lambda d: _dhat(ii + d, y0, y1)  # noqa: E731
+    if _precompute_wys_ok(h, w, radius, n_lists=2):
+        wys = [wy_at(d) for d in range(-radius, radius + 1)]
+        dwys = [dwy_at(d) for d in range(-radius, radius + 1)]
+        return (lambda d: wys[d + radius]), (lambda d: dwys[d + radius])
+    if _precompute_wys_ok(h, w, radius, n_lists=1):
+        wys = [wy_at(d) for d in range(-radius, radius + 1)]
+        return (lambda d: wys[d + radius]), dwy_at
+    return wy_at, dwy_at
+
+
+def _mc_fused_bwd_kernel(img_ref, dy_ref, dx_ref, g_ref,
+                         gimg_ref, gdy_ref, gdx_ref, *, radius: int,
+                         channels: int):
+    """All gradients of the multi-channel warp in one tap sweep: per-channel
+    d/d img plus the CHANNEL-SUMMED d/d disp cotangent."""
+    h, w = dy_ref.shape
+    ii, jj, y0, y1, fy, x0, x1, fx, my, mx = _coords(
+        dy_ref[:], dx_ref[:], h, w, radius)
+    wy_at, dwy_at = _mc_hoist(h, w, radius, ii, y0, y1, fy)
+    imgs = [img_ref[c] for c in range(channels)]
+    gs = [g_ref[c] for c in range(channels)]
+    acc_dy = jnp.zeros((h, w), jnp.float32)
+    acc_dx = jnp.zeros((h, w), jnp.float32)
+    acc_gi = [jnp.zeros((h, w), jnp.float32) for _ in range(channels)]
+    for e in range(-radius, radius + 1):
+        rx = jj + e
+        wx = _hat(rx, x0, x1, fx)
+        dwx = _dhat(rx, x0, x1)
+        for c in range(channels):
+            s = _shifted(imgs[c], 0, e)
+            a_e = gs[c] * wx
+            b_e = jnp.zeros((h, w), jnp.float32)
+            acc_v = jnp.zeros((h, w), jnp.float32)
+            acc_d = jnp.zeros((h, w), jnp.float32)
+            for d in range(-radius, radius + 1):
+                sh = _shifted(s, d, 0)
+                wy = wy_at(d)
+                acc_v = acc_v + wy * sh
+                acc_d = acc_d + dwy_at(d) * sh
+                b_e = b_e + _shifted(wy * a_e, -d, 0)
+            acc_dy = acc_dy + (wx * gs[c]) * acc_d
+            acc_dx = acc_dx + (dwx * gs[c]) * acc_v
+            acc_gi[c] = acc_gi[c] + _shifted(b_e, 0, -e)
+    for c in range(channels):
+        gimg_ref[c] = acc_gi[c]
+    gdy_ref[:] = acc_dy * my
+    gdx_ref[:] = acc_dx * mx
+
+
+def _mc_disp_bwd_kernel(img_ref, dy_ref, dx_ref, g_ref,
+                        gdy_ref, gdx_ref, *, radius: int, channels: int):
+    """d/d disp ONLY (channel-summed); used when the warped image is data."""
+    h, w = dy_ref.shape
+    ii, jj, y0, y1, fy, x0, x1, fx, my, mx = _coords(
+        dy_ref[:], dx_ref[:], h, w, radius)
+    wy_at, dwy_at = _mc_hoist(h, w, radius, ii, y0, y1, fy)
+    imgs = [img_ref[c] for c in range(channels)]
+    gs = [g_ref[c] for c in range(channels)]
+    acc_dy = jnp.zeros((h, w), jnp.float32)
+    acc_dx = jnp.zeros((h, w), jnp.float32)
+    for e in range(-radius, radius + 1):
+        rx = jj + e
+        wx = _hat(rx, x0, x1, fx)
+        dwx = _dhat(rx, x0, x1)
+        for c in range(channels):
+            s = _shifted(imgs[c], 0, e)
+            acc_v = jnp.zeros((h, w), jnp.float32)
+            acc_d = jnp.zeros((h, w), jnp.float32)
+            for d in range(-radius, radius + 1):
+                sh = _shifted(s, d, 0)
+                acc_v = acc_v + wy_at(d) * sh
+                acc_d = acc_d + dwy_at(d) * sh
+            acc_dy = acc_dy + (wx * gs[c]) * acc_d
+            acc_dx = acc_dx + (dwx * gs[c]) * acc_v
+    gdy_ref[:] = acc_dy * my
+    gdx_ref[:] = acc_dx * mx
+
+
+def _mc_specs(n, c, h, w):
+    img = pl.BlockSpec((None, c, h, w), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((None, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return img, plane
+
+
+def _run_mc_fwd(imgs, dy, dx, radius: int, interpret: bool):
+    n, c, h, w = imgs.shape
+    img_s, plane_s = _mc_specs(n, c, h, w)
+    return pl.pallas_call(
+        functools.partial(_mc_tap_kernel, radius=radius, channels=c),
+        grid=(n,),
+        in_specs=[img_s, plane_s, plane_s],
+        out_specs=img_s,
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        interpret=interpret,
+    )(imgs, dy, dx)
+
+
+def _run_mc_fused_bwd(imgs, dy, dx, g, radius: int, interpret: bool):
+    n, c, h, w = imgs.shape
+    img_s, plane_s = _mc_specs(n, c, h, w)
+    return pl.pallas_call(
+        functools.partial(_mc_fused_bwd_kernel, radius=radius, channels=c),
+        grid=(n,),
+        in_specs=[img_s, plane_s, plane_s, img_s],
+        out_specs=(img_s, plane_s, plane_s),
+        out_shape=(jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((n, h, w), jnp.float32)),
+        interpret=interpret,
+    )(imgs, dy, dx, g)
+
+
+def _run_mc_disp_bwd(imgs, dy, dx, g, radius: int, interpret: bool):
+    n, c, h, w = imgs.shape
+    img_s, plane_s = _mc_specs(n, c, h, w)
+    return pl.pallas_call(
+        functools.partial(_mc_disp_bwd_kernel, radius=radius, channels=c),
+        grid=(n,),
+        in_specs=[img_s, plane_s, plane_s, img_s],
+        out_specs=(plane_s, plane_s),
+        out_shape=(jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((n, h, w), jnp.float32)),
+        interpret=interpret,
+    )(imgs, dy, dx, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _banded_warp_mc(imgs, disp, radius: int, interpret: bool,
+                    img_const: bool):
+    """imgs (N, C, H, W), disp (N, 2, H, W) -> warped (N, C, H, W)."""
+    return _run_mc_fwd(imgs.astype(jnp.float32),
+                       disp[:, 0].astype(jnp.float32),
+                       disp[:, 1].astype(jnp.float32), radius, interpret)
+
+
+def _mc_fwd(imgs, disp, radius, interpret, img_const):
+    return _banded_warp_mc(imgs, disp, radius, interpret, img_const), \
+        (imgs, disp)
+
+
+def _mc_bwd(radius, interpret, img_const, res, g):
+    imgs, disp = res
+    f32 = jnp.float32
+    args = (imgs.astype(f32), disp[:, 0].astype(f32),
+            disp[:, 1].astype(f32), g.astype(f32))
+    if img_const:
+        gdy, gdx = _run_mc_disp_bwd(*args, radius, interpret)
+        g_img = jnp.zeros_like(imgs)
+    else:
+        g_img, gdy, gdx = _run_mc_fused_bwd(*args, radius, interpret)
+        g_img = g_img.astype(imgs.dtype)
+    return g_img, jnp.stack([gdy, gdx], axis=1).astype(disp.dtype)
+
+
+_banded_warp_mc.defvjp(_mc_fwd, _mc_bwd)
+
+
+def bilinear_warp_banded_multi(field: jnp.ndarray, disp: jnp.ndarray,
+                               radius: int = DEFAULT_RADIUS,
+                               interpret: bool | None = None,
+                               img_const: bool = False) -> jnp.ndarray:
+    """Warp every channel of ``field`` (..., C, H, W) by ONE shared
+    displacement ``disp`` (..., 2, H, W), sharing the coordinate/hat-weight
+    computation across channels. ``img_const=True`` marks the field as data
+    (no cotangent needed) and skips the d/d img transpose sweep in the VJP.
+
+    Falls back to per-channel `bilinear_warp_banded` off-TPU, on frames too
+    large for full-frame VMEM blocks, or for channel counts > 4.
+    """
+    h, w = field.shape[-2:]
+    c = field.shape[-3]
+    taps = (2 * radius + 1) ** 2
+    mc_ok = taps <= (_UNROLL_TAP_LIMIT if _precompute_wys_ok(h, w, radius)
+                     else _UNROLL_TAP_LIMIT_NOPRE)
+    use_kernel = interpret if interpret is not None else (
+        jax.default_backend() == "tpu" and h * w <= _MAX_VMEM_PIXELS)
+    if not use_kernel or c > 4 or h * w > _MAX_VMEM_PIXELS or not mc_ok:
+        from cardiax.ops.warp import warp_vector_field
+        f = jax.lax.stop_gradient(field) if img_const else field
+        wf = lambda i, d: bilinear_warp_banded(i, d, radius=radius,  # noqa: E731
+                                               interpret=interpret)
+        return warp_vector_field(f, disp, wf)
+    field_flat = field.reshape((-1, c) + field.shape[-2:])
+    disp_flat = disp.reshape((-1, 2) + disp.shape[-2:])
+    out = _banded_warp_mc(field_flat, disp_flat, radius, bool(interpret),
+                          img_const)
+    return out.reshape(field.shape).astype(field.dtype)
+
+
+# --------------------------------------------------------------------------- #
 # Tiled kernels: frames too large for one (H, W) VMEM block                    #
 # --------------------------------------------------------------------------- #
 # Grid (N, H/TR). dy/dx/out are (TR, W) row-band blocks; the image stays in

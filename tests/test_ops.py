@@ -10,7 +10,8 @@ from cardiax.ops.fluid_metric import FluidMetric, sharp, flat
 from cardiax.ops.shooting import ad_star, deform_image, expmap_shooting, expmap_svf
 from cardiax.ops.strain import circumferential_strain, sector_matrix
 from cardiax.ops.svd_smooth import subspace_denoise, svd_denoise
-from cardiax.ops.warp import bilinear_warp, compose_displacements
+from cardiax.ops.warp import (bilinear_warp, compose_displacements,
+                              warp_vector_field)
 
 H = W = 32
 
@@ -294,6 +295,79 @@ class TestBandedWarpKernel:
         u_gather, _ = expmap_shooting(m0, n_steps=3, warp_radius=None)
         np.testing.assert_allclose(np.asarray(u_banded), np.asarray(u_gather),
                                    atol=1e-5)
+
+
+class TestMultiChannelBandedWarp:
+    """C channels warped by one shared displacement: one kernel, shared tap
+    weights, channel-summed disp cotangent, optional const-image VJP."""
+
+    def _data(self, n=2, c=2, h=32, w=32, amp=5.0, seed=0):
+        rng = np.random.default_rng(seed)
+        field = ndimage.gaussian_filter(
+            rng.normal(size=(n, c, h, w)), 2.0).astype(np.float32)
+        disp = np.clip(ndimage.gaussian_filter(
+            rng.normal(size=(n, 2, h, w)), 3.0) * 10, -amp, amp
+        ).astype(np.float32)
+        return jnp.asarray(field), jnp.asarray(disp)
+
+    def test_forward_matches_per_channel(self):
+        from cardiax.ops.warp_pallas import bilinear_warp_banded_multi
+        field, disp = self._data()
+        ref = warp_vector_field(field, disp)          # exact XLA gather
+        out = bilinear_warp_banded_multi(field, disp, radius=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_gradients_match_reference(self):
+        from cardiax.ops.warp_pallas import bilinear_warp_banded_multi
+        field, disp = self._data(seed=1)
+        loss_ref = lambda f, d: jnp.sum(warp_vector_field(f, d) ** 2)  # noqa: E731
+        loss_new = lambda f, d: jnp.sum(bilinear_warp_banded_multi(  # noqa: E731
+            f, d, radius=8, interpret=True) ** 2)
+        for arg in (0, 1):
+            g_ref = jax.grad(loss_ref, arg)(field, disp)
+            g_new = jax.grad(loss_new, arg)(field, disp)
+            np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_const_img_disp_grad_matches(self):
+        from cardiax.ops.warp_pallas import bilinear_warp_banded_multi
+        field, disp = self._data(seed=2)
+        g_ref = jax.grad(lambda d: jnp.sum(
+            warp_vector_field(field, d) ** 2))(disp)
+        g_new = jax.grad(lambda d: jnp.sum(bilinear_warp_banded_multi(
+            field, d, radius=8, interpret=True, img_const=True) ** 2))(disp)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
+        g_img = jax.grad(lambda f: jnp.sum(bilinear_warp_banded_multi(
+            f, disp, radius=8, interpret=True, img_const=True) ** 2))(field)
+        assert float(jnp.abs(g_img).max()) == 0.0
+
+    def test_hoist1_config_radius16(self):
+        # 128x128 at radius 16 fits only ONE hoisted weight list (the final
+        # image warp configuration): parity incl. gradients
+        from cardiax.ops.warp_pallas import (_precompute_wys_ok,
+                                             bilinear_warp_banded_multi)
+        assert _precompute_wys_ok(128, 128, 16, n_lists=1)
+        assert not _precompute_wys_ok(128, 128, 16, n_lists=2)
+        field, disp = self._data(n=1, c=1, h=128, w=128, amp=12.0, seed=3)
+        ref = warp_vector_field(field, disp)
+        out = bilinear_warp_banded_multi(field, disp, radius=16,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        g_ref = jax.grad(lambda d: jnp.sum(
+            warp_vector_field(field, d) ** 2))(disp)
+        g_new = jax.grad(lambda d: jnp.sum(bilinear_warp_banded_multi(
+            field, d, radius=16, interpret=True, img_const=True) ** 2))(disp)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_deform_image_const_matches(self):
+        from cardiax.ops.shooting import deform_image
+        field, disp = self._data(seed=4)
+        ref = deform_image(field, disp, warp_radius=None)
+        out = deform_image(field, disp, warp_radius=None, img_const=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
 class TestSpectralResize:
