@@ -54,6 +54,7 @@ class JointRegisterStrainMatNet(nn.Module):
     shoot_downsample: int = 2
     reg_half_res: bool = True
     strain_downsample: int = 2
+    final_warp_radius: int = 12
     strain_features: int = 16
 
     @nn.compact
@@ -97,11 +98,13 @@ class JointRegisterStrainMatNet(nn.Module):
         m0 = MomentumUNet(self.reg_features, self.reg_levels,
                           half_res=self.reg_half_res, name="momentum_unet")(x)
         m0 = jnp.moveaxis(m0, -1, 1)                          # (B*P, 2, H, W)
-        u_inv, v0 = expmap_shooting(
+        u_inv, v0, u_low = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
             n_steps=self.n_integration_steps,
-            shoot_downsample=self.shoot_downsample)
-        deformed = deform_image(src, u_inv, img_const=True)                   # (B*P, 1, H, W)
+            shoot_downsample=self.shoot_downsample, return_low=True)
+        deformed = deform_image(src, u_inv,
+                                warp_radius=self.final_warp_radius,
+                                img_const=True)                   # (B*P, 1, H, W)
 
         # 2. regroup displacements into a motion video for the strain head
         disp_video = u_inv.reshape(b, p, 2, h, w)
@@ -117,7 +120,13 @@ class JointRegisterStrainMatNet(nn.Module):
             ds = int(self.strain_downsample)
             if ds > 1 and h % ds == 0 and w % ds == 0 \
                     and min(h, w) >= 16 * ds:
-                small = spectral_resize(u_inv, (h // ds, w // ds))
+                if u_low is not None and u_low.shape[-2:] == (h // ds, w // ds):
+                    # band-limited shooting already integrated on this grid —
+                    # reuse its full-pixel displacement, skipping an up-down
+                    # spectral round trip
+                    small = u_low
+                else:
+                    small = spectral_resize(u_inv, (h // ds, w // ds))
                 head_video = small.reshape(b, p, 2, h // ds, w // ds)
             else:
                 head_video = disp_video

@@ -40,6 +40,7 @@ class RegistrationNet(nn.Module):
     n_integration_steps: int = 5
     shoot_downsample: int = 2
     reg_half_res: bool = True
+    final_warp_radius: int = 12
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tar: jnp.ndarray,
@@ -53,7 +54,9 @@ class RegistrationNet(nn.Module):
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
             n_steps=self.n_integration_steps,
             shoot_downsample=self.shoot_downsample)
-        deformed = deform_image(src, u_inv, img_const=True)
+        deformed = deform_image(src, u_inv,
+                                warp_radius=self.final_warp_radius,
+                                img_const=True)
         return {
             "displacement": u_inv,
             "velocity": v0,

@@ -77,12 +77,19 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
                     warp_radius: int | None = 8,
                     shoot_downsample: int = 1,
                     remat: bool = False,
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """EPDiff shooting. Returns (u_inv, v0):
+                    return_low: bool = False,
+                    ):
+    """EPDiff shooting. Returns (u_inv, v0) — or (u_inv, v0, u_low_px) with
+    ``return_low=True``:
 
       u_inv (B, 2, H, W): displacement of the INVERSE map, phi^{-1} = id + u_inv
                           (deformed_source(x) = src(x + u_inv(x)));
-      v0    (B, 2, H, W): initial velocity K m0 (for the metric-norm loss).
+      v0    (B, 2, H, W): initial velocity K m0 (for the metric-norm loss);
+      u_low_px: the SAME displacement in full-pixel units on the
+                band-limited integration grid (H/ds, W/ds), or None when the
+                integration ran at full resolution — lets consumers that
+                want a downsampled displacement (e.g. the half-res strain
+                head) skip a spectral up-down round trip.
 
     ``warp_radius``: band radius of the Pallas warp kernel on TPU (per-step
     displacements are dt*v, far below the radius for any sane metric); None
@@ -116,15 +123,19 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
             m_low, alpha=alpha / (ds * ds), gamma=gamma, power=power,
             n_steps=n_steps, warp_radius=warp_radius, shoot_downsample=1)
         u_inv = spectral_resize(u_low, (h, w)) * ds
+        if return_low:
+            return u_inv, v0, u_low * ds
         return u_inv, v0
 
     dt = 1.0 / n_steps
     v0 = sharp(m0, alpha, gamma, power)
-    # per-step displacement is dt*v (a fraction of a pixel for sane metrics):
-    # a small band radius suffices and cuts the tap loop ~4x. The 2-channel
-    # u_inv field is warped by ONE multi-channel kernel sharing the tap
-    # weights across channels (and channel-summing the disp cotangent).
-    step_radius = min(4, warp_radius) if warp_radius is not None else None
+    # per-step displacement is dt*v (a fraction of a pixel for sane metrics —
+    # measured 0.19 px max on a trained flagship model, and semi-Lagrangian
+    # Euler steps need |dt*v| ~< 1 px for accuracy regardless): a small band
+    # radius suffices and cuts the tap loop ~7x. The 2-channel u_inv field is
+    # warped by ONE multi-channel kernel sharing the tap weights across
+    # channels (and channel-summing the disp cotangent).
+    step_radius = min(3, warp_radius) if warp_radius is not None else None
     warp_vec = (lambda f, d: bilinear_warp_banded_multi(f, d,
                                                         radius=step_radius)) \
         if warp_radius is not None else \
@@ -152,6 +163,8 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
     # stacking from the backward pass (measured ~9% faster fwd+bwd on v5e)
     (m_final, u_inv), _ = jax.lax.scan(step, init, None, length=n_steps,
                                        unroll=True)
+    if return_low:
+        return u_inv, v0, None   # integration ran at full resolution
     return u_inv, v0
 
 
@@ -176,20 +189,23 @@ def expmap_svf(v: jnp.ndarray, n_squarings: int = 4,
 
 
 def deform_image(img: jnp.ndarray, u_inv: jnp.ndarray,
-                 warp_radius: int | None = 8,
+                 warp_radius: int | None = 12,
                  img_const: bool = False) -> jnp.ndarray:
     """deformed(x) = img(x + u_inv(x)); img (B, C, H, W), u_inv (B, 2, H, W).
 
-    The final deformation can exceed the per-step band, so the image warp
-    uses a 2x radius band (clamped displacements beyond that are a mask
-    leaving/entering-frame situation the reference's clip handles the same).
+    ``warp_radius`` is the band of the FINAL deformation (which can exceed
+    the per-step band): displacements clamp at radius-1 px. Default 12
+    (clamp 11 px) is ~6x the max |u_inv| measured on a trained flagship model
+    (1.9 px) and covers full-cycle clinical LV motion (~5-8 px at 128^2);
+    in-band results are bit-identical to any larger radius. Raise via the
+    models' ``final_warp_radius`` config for extreme deformations.
 
     ``img_const=True`` declares that no cotangent w.r.t. ``img`` is needed
     (the usual case: warping SOURCE DATA by a predicted deformation) — the
     banded VJP then skips the d/d img transpose sweep entirely.
     """
     if warp_radius is not None:
-        return bilinear_warp_banded_multi(img, u_inv, radius=2 * warp_radius,
+        return bilinear_warp_banded_multi(img, u_inv, radius=warp_radius,
                                           img_const=img_const)
     if img_const:
         img = jax.lax.stop_gradient(img)
