@@ -141,15 +141,28 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
         if warp_radius is not None else \
         (lambda f, d: warp_vector_field(f, d, None))
 
+    # Fused pointwise core on TPU: derivatives + ad* + the semi-Lagrangian
+    # banded warp collapse into ONE Pallas kernel per step (one more for the
+    # hand-derived VJP) — only the MXU spectral solve v = K m stays in XLA.
+    use_fused = step_radius is not None and jax.default_backend() == "tpu"
+    if use_fused:
+        from cardiax.ops.epdiff_pallas import (epdiff_step,
+                                               fused_step_supported)
+        use_fused = fused_step_supported(h_full, w_full)
+
     def step(carry, _):
         m, u_inv = carry
         v = sharp(m, alpha, gamma, power)
         # semi-Lagrangian update of the inverse map:
         # phi_inv_new(x) = phi_inv(x - dt v(x)) ; with phi_inv = id + u:
         # u_new(x) = -dt v(x) + u(x - dt v(x))
-        back = -dt * v
-        u_inv_new = back + warp_vec(u_inv, back)
-        m_new = m - dt * ad_star(v, m)
+        if use_fused:
+            m_new, u_inv_new = epdiff_step(v, m, u_inv, dt, step_radius,
+                                           False)
+        else:
+            back = -dt * v
+            u_inv_new = back + warp_vec(u_inv, back)
+            m_new = m - dt * ad_star(v, m)
         return (m_new, u_inv_new), None
 
     if remat:

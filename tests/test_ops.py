@@ -370,6 +370,74 @@ class TestMultiChannelBandedWarp:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+class TestFusedEPDiffStep:
+    """Fused Pallas EPDiff step (fwd + hand-derived VJP) vs the composite
+    JAX reference (ad_star + exact gather warp), interpret mode on CPU."""
+
+    def _data(self, n=2, h=24, w=24, seed=0, scale=3.0):
+        rng = np.random.default_rng(seed)
+        sm = lambda s: ndimage.gaussian_filter(  # noqa: E731
+            rng.normal(size=(n, 2, h, w)), 2.5).astype(np.float32) * s
+        return jnp.asarray(sm(scale)), jnp.asarray(sm(scale)), \
+            jnp.asarray(sm(1.0))
+
+    def test_forward_matches_reference(self):
+        from cardiax.ops.epdiff_pallas import (epdiff_step,
+                                               epdiff_step_reference)
+        v, m, u = self._data()
+        mr, ur = epdiff_step_reference(v, m, u, 0.2)
+        mk, uk = epdiff_step(v, m, u, 0.2, 3, True)
+        np.testing.assert_allclose(np.asarray(mk), np.asarray(mr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(uk), np.asarray(ur), atol=1e-5)
+
+    def test_gradients_match_reference(self):
+        from cardiax.ops.epdiff_pallas import (epdiff_step,
+                                               epdiff_step_reference)
+        v, m, u = self._data(seed=1)
+        wy = jnp.asarray(np.random.default_rng(9).normal(
+            size=v.shape).astype(np.float32))
+
+        def loss_ref(v, m, u):
+            mn, un = epdiff_step_reference(v, m, u, 0.2)
+            return jnp.sum(mn * wy) + jnp.sum(un ** 2)
+
+        def loss_ker(v, m, u):
+            mn, un = epdiff_step(v, m, u, 0.2, 3, True)
+            return jnp.sum(mn * wy) + jnp.sum(un ** 2)
+
+        for arg in (0, 1, 2):
+            g_ref = jax.grad(loss_ref, arg)(v, m, u)
+            g_ker = jax.grad(loss_ker, arg)(v, m, u)
+            np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_integration_matches_composite_scan(self):
+        # the fused step chained 3x under autodiff == the composite scan
+        from cardiax.ops.epdiff_pallas import epdiff_step
+        from cardiax.ops.fluid_metric import sharp
+
+        rng = np.random.default_rng(4)
+        m0 = jnp.asarray(ndimage.gaussian_filter(
+            rng.normal(size=(1, 2, H, W)), 4.0).astype(np.float32) * 20.0)
+
+        def shoot_fused(m0):
+            m, u = m0, jnp.zeros_like(m0)
+            for _ in range(3):
+                v = sharp(m)
+                m, u = epdiff_step(v, m, u, 1.0 / 3, 3, True)
+            return u
+
+        u_ref, _ = expmap_shooting(m0, n_steps=3, warp_radius=None)
+        u_fused = shoot_fused(m0)
+        np.testing.assert_allclose(np.asarray(u_fused), np.asarray(u_ref),
+                                   atol=1e-4)
+        g_ref = jax.grad(lambda m: jnp.sum(
+            expmap_shooting(m, n_steps=3, warp_radius=None)[0] ** 2))(m0)
+        g_fused = jax.grad(lambda m: jnp.sum(shoot_fused(m) ** 2))(m0)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   atol=2e-3, rtol=2e-3)
+
+
 class TestSpectralResize:
     def test_constant_preserved(self):
         from cardiax.ops.fluid_metric import spectral_resize
