@@ -32,9 +32,21 @@ n_steps Euler steps (and the K-solve transposes) stays in autodiff: v = K m
 remains an XLA einsum, so its cotangent g_m += K g_v comes for free from the
 self-adjoint matmul.
 
+LANE PACKING: a (64, 64) f32 plane fills only half of the VPU's native
+(8, 128) tile, so every op on the flagship's 64^2 shooting grid wastes half
+the lanes. `pack_items` lays a (PR, PC) grid of INDEPENDENT batch items
+into one (PR*H, PC*W) plane; all stencil/tap code uses per-item LOCAL
+row/col indices, so cross-item wraparound lands exactly where the one-sided
+borders / clamped hat weights already contribute zero — the same argument
+that makes circular rolls valid at frame borders. With 2x2 packing the
+kernels run on full (128, 128) tiles and the packed fluid-metric solve
+(`fluid_metric.sharp_packed`) contracts over block-diagonal 128-wide bases,
+filling the MXU. Items pad to a multiple of PR*PC with zero momentum
+(zero dynamics, sliced off afterwards).
+
 Replaces: lagomorph's fused CUDA EPDiff/adjoint kernels (SURVEY.md 2.12).
 Numerical parity with the composite JAX path is test-pinned fwd and grad
-(`tests/test_ops.py:TestFusedEPDiffStep`).
+(`tests/test_ops.py:TestFusedEPDiffStep`), packed == unpacked included.
 """
 
 from __future__ import annotations
@@ -46,95 +58,125 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cardiax.ops.warp_pallas import (_MAX_VMEM_PIXELS, _coords, _dhat, _hat,
-                                     _shifted)
+from cardiax.ops.warp_pallas import _MAX_VMEM_PIXELS, _dhat, _hat, _shifted
 
 
-def _row_iota(h, w):
-    return jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+def _local_iotas(shape, h_item: int, w_item: int):
+    """Per-item (local) integer row/col indices on a packed plane."""
+    h, w = shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if h_item != h:
+        ii = jax.lax.rem(ii, h_item)
+    if w_item != w:
+        jj = jax.lax.rem(jj, w_item)
+    return ii, jj
 
 
-def _col_iota(h, w):
-    return jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-
-
-def _dy(f, h, w):
-    """Central d/dy with one-sided borders (== shooting._grad_hw rows)."""
-    up = pltpu.roll(f, -1 % h, axis=0)       # row i -> f(i+1)
+def _dy(f, ii, h_item):
+    """Central d/dy with one-sided borders per item (== shooting._grad_hw)."""
+    h = f.shape[0]
+    up = pltpu.roll(f, (-1) % h, axis=0)     # row i -> f(i+1)
     dn = pltpu.roll(f, 1, axis=0)            # row i -> f(i-1)
-    ii = _row_iota(h, w)
     mid = 0.5 * (up - dn)
-    return jnp.where(ii == 0, up - f, jnp.where(ii == h - 1, f - dn, mid))
+    return jnp.where(ii == 0, up - f, jnp.where(ii == h_item - 1, f - dn, mid))
 
 
-def _dx(f, h, w):
-    up = pltpu.roll(f, -1 % w, axis=1)
+def _dx(f, jj, w_item):
+    w = f.shape[1]
+    up = pltpu.roll(f, (-1) % w, axis=1)
     dn = pltpu.roll(f, 1, axis=1)
-    jj = _col_iota(h, w)
     mid = 0.5 * (up - dn)
-    return jnp.where(jj == 0, up - f, jnp.where(jj == w - 1, f - dn, mid))
+    return jnp.where(jj == 0, up - f, jnp.where(jj == w_item - 1, f - dn, mid))
 
 
-def _dyT(g, h, w):
+def _dyT(g, ii, h_item):
     """Exact transpose of `_dy` (columns of the stencil matrix):
     j=0: -g0 - g1/2 ; j=1: g0 - g2/2 ; interior: (g_{j-1} - g_{j+1})/2 ;
     j=n-2: g_{n-3}/2 - g_{n-1} ; j=n-1: g_{n-2}/2 + g_{n-1}."""
-    up = pltpu.roll(g, -1 % h, axis=0)       # g(j+1)
+    h = g.shape[0]
+    up = pltpu.roll(g, (-1) % h, axis=0)     # g(j+1)
     dn = pltpu.roll(g, 1, axis=0)            # g(j-1)
-    ii = _row_iota(h, w)
     base = 0.5 * (dn - up)
     out = jnp.where(ii == 0, -g - 0.5 * up, base)
     out = jnp.where(ii == 1, base + 0.5 * dn, out)
-    out = jnp.where(ii == h - 2, base - 0.5 * up, out)
-    return jnp.where(ii == h - 1, 0.5 * dn + g, out)
+    out = jnp.where(ii == h_item - 2, base - 0.5 * up, out)
+    return jnp.where(ii == h_item - 1, 0.5 * dn + g, out)
 
 
-def _dxT(g, h, w):
-    up = pltpu.roll(g, -1 % w, axis=1)
+def _dxT(g, jj, w_item):
+    w = g.shape[1]
+    up = pltpu.roll(g, (-1) % w, axis=1)
     dn = pltpu.roll(g, 1, axis=1)
-    jj = _col_iota(h, w)
     base = 0.5 * (dn - up)
     out = jnp.where(jj == 0, -g - 0.5 * up, base)
     out = jnp.where(jj == 1, base + 0.5 * dn, out)
-    out = jnp.where(jj == w - 2, base - 0.5 * up, out)
-    return jnp.where(jj == w - 1, 0.5 * dn + g, out)
+    out = jnp.where(jj == w_item - 2, base - 0.5 * up, out)
+    return jnp.where(jj == w_item - 1, 0.5 * dn + g, out)
 
 
-def _ad_star_planes(vy, vx, my, mx, h, w):
-    """The 8 derivative planes + ad* components (matches shooting.ad_star)."""
-    dvy_dy, dvy_dx = _dy(vy, h, w), _dx(vy, h, w)
-    dvx_dy, dvx_dx = _dy(vx, h, w), _dx(vx, h, w)
-    dmy_dy, dmy_dx = _dy(my, h, w), _dx(my, h, w)
-    dmx_dy, dmx_dx = _dy(mx, h, w), _dx(mx, h, w)
+def _deriv_planes(vy, vx, my, mx, ii, jj, h_item, w_item):
+    dvy_dy, dvy_dx = _dy(vy, ii, h_item), _dx(vy, jj, w_item)
+    dvx_dy, dvx_dx = _dy(vx, ii, h_item), _dx(vx, jj, w_item)
+    dmy_dy, dmy_dx = _dy(my, ii, h_item), _dx(my, jj, w_item)
+    dmx_dy, dmx_dx = _dy(mx, ii, h_item), _dx(mx, jj, w_item)
     div = dvy_dy + dvx_dx
-    a_y = dvy_dy * my + dvx_dy * mx + dmy_dy * vy + dmy_dx * vx + my * div
-    a_x = dvy_dx * my + dvx_dx * mx + dmx_dy * vy + dmx_dx * vx + mx * div
-    return (a_y, a_x, dvy_dy, dvy_dx, dvx_dy, dvx_dx,
+    return (dvy_dy, dvy_dx, dvx_dy, dvx_dx,
             dmy_dy, dmy_dx, dmx_dy, dmx_dx, div)
 
 
-def _warp_weights(by, bx, h, w, radius):
-    ii, jj, y0, y1, fy, x0, x1, fx, my, mx = _coords(by, bx, h, w, radius)
-    wys = [_hat(ii + d, y0, y1, fy) for d in range(-radius, radius + 1)]
-    dwys = [_dhat(ii + d, y0, y1) for d in range(-radius, radius + 1)]
-    return ii, jj, x0, x1, fx, my, mx, wys, dwys
+def _coords_local(by, bx, ii, jj, h_item, w_item, radius):
+    """Clamped sample coordinates + bilinear pieces with LOCAL indices: the
+    wrap-gets-zero-weight argument of warp_pallas holds per item."""
+    fi = ii.astype(jnp.float32)
+    fj = jj.astype(jnp.float32)
+    r = float(radius - 1)
+    cy = jnp.clip(fi + jnp.clip(by, -r, r), 0.0, h_item - 1.0)
+    cx = jnp.clip(fj + jnp.clip(bx, -r, r), 0.0, w_item - 1.0)
+    y0 = jnp.floor(cy)
+    x0 = jnp.floor(cx)
+    fy = cy - y0
+    fx = cx - x0
+    y1 = jnp.minimum(y0 + 1.0, h_item - 1.0)
+    x1 = jnp.minimum(x0 + 1.0, w_item - 1.0)
+    my = jnp.where((jnp.abs(by) <= r) & (fi + by >= 0.0)
+                   & (fi + by <= h_item - 1.0), 1.0, 0.0)
+    mx = jnp.where((jnp.abs(bx) <= r) & (fj + bx >= 0.0)
+                   & (fj + bx <= w_item - 1.0), 1.0, 0.0)
+    return fi, fj, y0, y1, fy, x0, x1, fx, my, mx
+
+
+def _warp_weights(by, bx, ii, jj, h_item, w_item, radius):
+    fi, fj, y0, y1, fy, x0, x1, fx, my, mx = _coords_local(
+        by, bx, ii, jj, h_item, w_item, radius)
+    wys = [_hat(fi + d, y0, y1, fy) for d in range(-radius, radius + 1)]
+    dwys = [_dhat(fi + d, y0, y1) for d in range(-radius, radius + 1)]
+    return fj, x0, x1, fx, my, mx, wys, dwys
 
 
 def _fwd_kernel(v_ref, m_ref, u_ref, mo_ref, uo_ref, *, radius: int,
-                dt: float):
+                dt: float, h_item: int, w_item: int):
     h, w = v_ref.shape[-2:]
+    ii, jj = _local_iotas((h, w), h_item, w_item)
     vy, vx = v_ref[0], v_ref[1]
     my_f, mx_f = m_ref[0], m_ref[1]
-    a_y, a_x = _ad_star_planes(vy, vx, my_f, mx_f, h, w)[:2]
+    (dvy_dy, dvy_dx, dvx_dy, dvx_dx,
+     dmy_dy, dmy_dx, dmx_dy, dmx_dx, div) = _deriv_planes(
+        vy, vx, my_f, mx_f, ii, jj, h_item, w_item)
+    a_y = dvy_dy * my_f + dvx_dy * mx_f + dmy_dy * vy + dmy_dx * vx \
+        + my_f * div
+    a_x = dvy_dx * my_f + dvx_dx * mx_f + dmx_dy * vy + dmx_dx * vx \
+        + mx_f * div
     mo_ref[0] = my_f - dt * a_y
     mo_ref[1] = mx_f - dt * a_x
     # semi-Lagrangian: u'(x) = b(x) + u(x + b(x)), b = -dt v
     by, bx = -dt * vy, -dt * vx
-    _, jj, x0, x1, fx, _, _, wys, _ = _warp_weights(by, bx, h, w, radius)
+    fj, x0, x1, fx, _, _, wys, _ = _warp_weights(
+        by, bx, ii, jj, h_item, w_item, radius)
     us = [u_ref[0], u_ref[1]]
     accs = [jnp.zeros((h, w), jnp.float32) for _ in range(2)]
     for e in range(-radius, radius + 1):
-        wx = _hat(jj + e, x0, x1, fx)
+        wx = _hat(fj + e, x0, x1, fx)
         ss = [_shifted(uc, 0, e) for uc in us]
         bs = [jnp.zeros((h, w), jnp.float32) for _ in range(2)]
         for d in range(-radius, radius + 1):
@@ -148,27 +190,29 @@ def _fwd_kernel(v_ref, m_ref, u_ref, mo_ref, uo_ref, *, radius: int,
 
 
 def _bwd_kernel(v_ref, m_ref, u_ref, gmo_ref, guo_ref,
-                gv_ref, gm_ref, gu_ref, *, radius: int, dt: float):
+                gv_ref, gm_ref, gu_ref, *, radius: int, dt: float,
+                h_item: int, w_item: int):
     h, w = v_ref.shape[-2:]
+    ii, jj = _local_iotas((h, w), h_item, w_item)
     vy, vx = v_ref[0], v_ref[1]
     my_f, mx_f = m_ref[0], m_ref[1]
-    (_, _, dvy_dy, dvy_dx, dvx_dy, dvx_dx,
-     dmy_dy, dmy_dx, dmx_dy, dmx_dx, div) = _ad_star_planes(
-        vy, vx, my_f, mx_f, h, w)
+    (dvy_dy, dvy_dx, dvx_dy, dvx_dx,
+     dmy_dy, dmy_dx, dmx_dy, dmx_dx, div) = _deriv_planes(
+        vy, vx, my_f, mx_f, ii, jj, h_item, w_item)
     gmy, gmx = gmo_ref[0], gmo_ref[1]
     guy, gux = guo_ref[0], guo_ref[1]
 
     # --- warp adjoint: u' = b + warp(u, b) -------------------------------
     by, bx = -dt * vy, -dt * vx
-    ii, jj, x0, x1, fx, wmy, wmx, wys, dwys = _warp_weights(
-        by, bx, h, w, radius)
+    fj, x0, x1, fx, wmy, wmx, wys, dwys = _warp_weights(
+        by, bx, ii, jj, h_item, w_item, radius)
     us = [u_ref[0], u_ref[1]]
     gs = [guy, gux]
     acc_dy = jnp.zeros((h, w), jnp.float32)
     acc_dx = jnp.zeros((h, w), jnp.float32)
     acc_gu = [jnp.zeros((h, w), jnp.float32) for _ in range(2)]
     for e in range(-radius, radius + 1):
-        rx = jj + e
+        rx = fj + e
         wx = _hat(rx, x0, x1, fx)
         dwx = _dhat(rx, x0, x1)
         for c in range(2):
@@ -193,18 +237,18 @@ def _bwd_kernel(v_ref, m_ref, u_ref, gmo_ref, guo_ref,
     # --- ad* adjoint (cotangent a = -dt * gm') ---------------------------
     a_y = -dt * gmy
     a_x = -dt * gmx
-    gv_y = (_dyT(2.0 * a_y * my_f + a_x * mx_f, h, w)
-            + _dxT(a_x * my_f, h, w)
+    gv_y = (_dyT(2.0 * a_y * my_f + a_x * mx_f, ii, h_item)
+            + _dxT(a_x * my_f, jj, w_item)
             + a_y * dmy_dy + a_x * dmx_dy
             - dt * g_by)
-    gv_x = (_dyT(a_y * mx_f, h, w)
-            + _dxT(a_y * my_f + 2.0 * a_x * mx_f, h, w)
+    gv_x = (_dyT(a_y * mx_f, ii, h_item)
+            + _dxT(a_y * my_f + 2.0 * a_x * mx_f, jj, w_item)
             + a_y * dmy_dx + a_x * dmx_dx
             - dt * g_bx)
     gm_y = (gmy + a_y * (dvy_dy + div) + a_x * dvy_dx
-            + _dyT(a_y * vy, h, w) + _dxT(a_y * vx, h, w))
+            + _dyT(a_y * vy, ii, h_item) + _dxT(a_y * vx, jj, w_item))
     gm_x = (gmx + a_y * dvx_dy + a_x * (dvx_dx + div)
-            + _dyT(a_x * vy, h, w) + _dxT(a_x * vx, h, w))
+            + _dyT(a_x * vy, ii, h_item) + _dxT(a_x * vx, jj, w_item))
     gv_ref[0] = gv_y
     gv_ref[1] = gv_x
     gm_ref[0] = gm_y
@@ -216,14 +260,21 @@ def _specs(h, w):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def epdiff_step(v, m, u, dt: float, radius: int, interpret: bool):
-    """(v, m, u) (N, 2, H, W) -> (m - dt*ad*_v m, -dt*v + warp(u, -dt*v))."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def epdiff_step(v, m, u, dt: float, radius: int, interpret: bool,
+                h_item: int = 0, w_item: int = 0):
+    """(v, m, u) (N, 2, H, W) -> (m - dt*ad*_v m, -dt*v + warp(u, -dt*v)).
+
+    ``h_item``/``w_item``: per-item plane size when the N axis carries
+    lane-packed item grids (`pack_items`); 0 means unpacked (H, W items).
+    """
     n, _, h, w = v.shape
     spec = _specs(h, w)
     f32 = jnp.float32
+    kern = functools.partial(_fwd_kernel, radius=radius, dt=float(dt),
+                             h_item=h_item or h, w_item=w_item or w)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, radius=radius, dt=float(dt)),
+        kern,
         grid=(n,),
         in_specs=[spec] * 3,
         out_specs=(spec, spec),
@@ -232,18 +283,21 @@ def epdiff_step(v, m, u, dt: float, radius: int, interpret: bool):
     )(v.astype(f32), m.astype(f32), u.astype(f32))
 
 
-def _step_fwd(v, m, u, dt, radius, interpret):
-    return epdiff_step(v, m, u, dt, radius, interpret), (v, m, u)
+def _step_fwd(v, m, u, dt, radius, interpret, h_item=0, w_item=0):
+    return epdiff_step(v, m, u, dt, radius, interpret, h_item, w_item), \
+        (v, m, u)
 
 
-def _step_bwd(dt, radius, interpret, res, cot):
+def _step_bwd(dt, radius, interpret, h_item, w_item, res, cot):
     v, m, u = res
     gmo, guo = cot
     n, _, h, w = v.shape
     spec = _specs(h, w)
     f32 = jnp.float32
+    kern = functools.partial(_bwd_kernel, radius=radius, dt=float(dt),
+                             h_item=h_item or h, w_item=w_item or w)
     gv, gm, gu = pl.pallas_call(
-        functools.partial(_bwd_kernel, radius=radius, dt=float(dt)),
+        kern,
         grid=(n,),
         in_specs=[spec] * 5,
         out_specs=(spec, spec, spec),
@@ -257,6 +311,45 @@ def _step_bwd(dt, radius, interpret, res, cot):
 epdiff_step.defvjp(_step_fwd, _step_bwd)
 
 
+# --------------------------------------------------------------------------- #
+# Item packing                                                                 #
+# --------------------------------------------------------------------------- #
+
+def pack_items(x: jnp.ndarray, pr: int, pc: int) -> jnp.ndarray:
+    """(N, C, H, W) -> (N/(pr*pc), C, pr*H, pc*W): a (pr, pc) grid of items
+    per plane. N must be divisible by pr*pc (pad with zeros first)."""
+    n, c, h, w = x.shape
+    g = n // (pr * pc)
+    x = x.reshape(g, pr, pc, c, h, w)
+    return x.transpose(0, 3, 1, 4, 2, 5).reshape(g, c, pr * h, pc * w)
+
+
+def unpack_items(y: jnp.ndarray, pr: int, pc: int) -> jnp.ndarray:
+    """Inverse of `pack_items`."""
+    g, c, hp, wp = y.shape
+    h, w = hp // pr, wp // pc
+    y = y.reshape(g, c, pr, h, pc, w)
+    return y.transpose(0, 2, 4, 1, 3, 5).reshape(g * pr * pc, c, h, w)
+
+
+def fused_step_supported(h: int, w: int) -> bool:
+    """Full-frame VMEM blocks only (the shooting grid is always small)."""
+    return h * w <= _MAX_VMEM_PIXELS
+
+
+def pack_plan(n: int, h: int, w: int):
+    """(pr, pc, n_pad) maximizing lane/sublane fill: pack pairs along lanes
+    until the packed width reaches 128 f32 lanes, and along rows to amortize
+    per-op overhead, within the VMEM block budget."""
+    pr = pc = 1
+    while w * pc < 128 and (h * pr) * (w * pc * 2) <= _MAX_VMEM_PIXELS:
+        pc *= 2
+    if (h * pr * 2) * (w * pc) <= _MAX_VMEM_PIXELS and h * pr < 256:
+        pr *= 2
+    n_pad = (-n) % (pr * pc)
+    return pr, pc, n_pad
+
+
 def epdiff_step_reference(v, m, u, dt: float):
     """Composite-JAX reference of the fused step (exact XLA-gather warp)."""
     from cardiax.ops.shooting import ad_star
@@ -265,8 +358,3 @@ def epdiff_step_reference(v, m, u, dt: float):
     u_new = b + warp_vector_field(u, b)
     m_new = m - dt * ad_star(v, m)
     return m_new, u_new
-
-
-def fused_step_supported(h: int, w: int) -> bool:
-    """Full-frame VMEM blocks only (the shooting grid is always small)."""
-    return h * w <= _MAX_VMEM_PIXELS

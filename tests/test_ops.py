@@ -438,6 +438,66 @@ class TestFusedEPDiffStep:
                                    atol=2e-3, rtol=2e-3)
 
 
+class TestPackedEPDiff:
+    """Lane-packed item grids: packed kernels/solves == per-item results."""
+
+    def _fields(self, n=8, h=16, w=16, seed=0):
+        rng = np.random.default_rng(seed)
+        sm = lambda s: ndimage.gaussian_filter(  # noqa: E731
+            rng.normal(size=(n, 2, h, w)), 2.0).astype(np.float32) * s
+        return jnp.asarray(sm(3.0)), jnp.asarray(sm(3.0)), \
+            jnp.asarray(sm(1.0))
+
+    def test_pack_roundtrip(self):
+        from cardiax.ops.epdiff_pallas import pack_items, unpack_items
+        x, _, _ = self._fields()
+        y = pack_items(x, 2, 2)
+        assert y.shape == (2, 2, 32, 32)
+        np.testing.assert_array_equal(np.asarray(unpack_items(y, 2, 2)),
+                                      np.asarray(x))
+
+    def test_sharp_packed_matches(self):
+        from cardiax.ops.epdiff_pallas import pack_items, unpack_items
+        from cardiax.ops.fluid_metric import sharp, sharp_packed
+        x, _, _ = self._fields(seed=1)
+        ref = sharp(x)
+        out = unpack_items(sharp_packed(pack_items(x, 2, 2), 16, 16), 2, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_packed_step_matches_unpacked(self):
+        from cardiax.ops.epdiff_pallas import (epdiff_step, pack_items,
+                                               unpack_items)
+        v, m, u = self._fields(seed=2)
+        mr, ur = epdiff_step(v, m, u, 0.2, 3, True)
+        vp, mp, up = (pack_items(a, 2, 2) for a in (v, m, u))
+        mk, uk = epdiff_step(vp, mp, up, 0.2, 3, True, 16, 16)
+        np.testing.assert_allclose(np.asarray(unpack_items(mk, 2, 2)),
+                                   np.asarray(mr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(unpack_items(uk, 2, 2)),
+                                   np.asarray(ur), atol=1e-5)
+
+    def test_packed_step_gradients_match(self):
+        from cardiax.ops.epdiff_pallas import (epdiff_step, pack_items,
+                                               unpack_items)
+        v, m, u = self._fields(seed=3)
+
+        def loss_ref(v, m, u):
+            mn, un = epdiff_step(v, m, u, 0.2, 3, True)
+            return jnp.sum(mn ** 2) + jnp.sum(un ** 2)
+
+        def loss_pack(v, m, u):
+            vp, mp, up = (pack_items(a, 2, 2) for a in (v, m, u))
+            mn, un = epdiff_step(vp, mp, up, 0.2, 3, True, 16, 16)
+            return jnp.sum(mn ** 2) + jnp.sum(un ** 2)
+
+        for arg in (0, 1, 2):
+            g_ref = jax.grad(loss_ref, arg)(v, m, u)
+            g_new = jax.grad(loss_pack, arg)(v, m, u)
+            np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                       atol=1e-4, rtol=1e-4)
+
+
 class TestSpectralResize:
     def test_constant_preserved(self):
         from cardiax.ops.fluid_metric import spectral_resize
