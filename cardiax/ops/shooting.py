@@ -25,8 +25,7 @@ import jax.numpy as jnp
 
 from cardiax.ops.fluid_metric import sharp, spectral_resize
 from cardiax.ops.warp import bilinear_warp, warp_vector_field
-from cardiax.ops.warp_pallas import (bilinear_warp_banded,
-                                     bilinear_warp_banded_multi)
+from cardiax.ops.warp_pallas import bilinear_warp_banded_multi
 
 
 def _grad_hw(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
