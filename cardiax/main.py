@@ -68,10 +68,14 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     networks = {name: build_model(mc) for name, mc in config["networks"].items()}
 
     # 4. mesh + trainer
-    mesh_shape = config.get("parallel", {}).get("mesh_shape")
+    par_cfg = config.get("parallel", {})
+    mesh_shape = par_cfg.get("mesh_shape")
     if isinstance(mesh_shape, str):
         mesh_shape = tuple(int(x) for x in mesh_shape.split(",") if x)
-    mesh = get_mesh(mesh_shape)
+    axis_names = par_cfg.get("axis_names")
+    if isinstance(axis_names, str):
+        axis_names = tuple(a for a in axis_names.split(",") if a)
+    mesh = get_mesh(mesh_shape, axis_names)
     print(f"mesh: {mesh.shape} over {len(jax.devices())} devices "
           f"({jax.devices()[0].platform})")
     trainer = build_trainer(config["training"], None, config, mesh=mesh)

@@ -29,13 +29,20 @@ def local_device_count() -> int:
     return jax.local_device_count()
 
 
+_DEFAULT_AXIS_NAMES = ("data", "seq", "model", "expert")
+
+
 def get_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
-             axis_names: Sequence[str] = ("data",),
+             axis_names: Optional[Sequence[str]] = None,
              devices: Optional[Sequence[Any]] = None) -> Mesh:
     """Build a mesh over devices. Default: all devices on one ``data`` axis.
 
     ``mesh_shape`` may name fewer devices than exist (prefix is used); pass
-    e.g. ``(4, 2)`` with ``axis_names=('data', 'model')`` for a 2-D mesh.
+    e.g. ``(4, 2)`` for a 2-D ('data', 'seq') mesh — batches shard over the
+    full axis product (`batch_sharding` defaults to every mesh axis), so the
+    folded B*(T-1) pair axis spreads over both dimensions: data parallelism
+    over slices x sequence parallelism over cine pairs. Custom names via
+    ``axis_names``.
     """
     devs = list(devices if devices is not None else jax.devices())
     if mesh_shape is None:
@@ -45,11 +52,17 @@ def get_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
         raise ValueError(f"mesh shape {mesh_shape} needs {n} devices, "
                          f"have {len(devs)}")
     grid = np.array(devs[:n]).reshape(mesh_shape)
-    return Mesh(grid, tuple(axis_names[: grid.ndim]))
+    names = tuple(axis_names) if axis_names is not None \
+        else _DEFAULT_AXIS_NAMES[: grid.ndim]
+    if len(names) != grid.ndim:
+        raise ValueError(f"{len(names)} axis names for a {grid.ndim}-D mesh")
+    return Mesh(grid, names)
 
 
-def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard axis 0 over the data axis, replicate the rest."""
+def batch_sharding(mesh: Mesh, ndim: int, axis=None) -> NamedSharding:
+    """Shard axis 0 over ``axis`` (default: ALL mesh axes), replicate rest."""
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     spec = [None] * ndim
     spec[0] = axis
     return NamedSharding(mesh, P(*spec))
@@ -59,14 +72,18 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str, Any]:
-    """device_put the array leaves of a host batch, batch-axis sharded.
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis=None) -> Dict[str, Any]:
+    """device_put the array leaves of a host batch, batch-axis sharded over
+    ``axis`` (default: the full mesh axis product).
 
     Non-array fields (id strings, metadata lists) stay host-side. Arrays whose
     leading dim doesn't divide the mesh axis are replicated (they're small
     labels in practice; the Batcher pads real batches to a divisible size).
     """
-    n_shard = mesh.shape[axis]
+    if axis is None:
+        axis = tuple(mesh.axis_names)
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_shard = int(np.prod([mesh.shape[a] for a in axes]))
     out: Dict[str, Any] = {}
     for k, v in batch.items():
         if isinstance(v, (np.ndarray, jax.Array)):

@@ -89,6 +89,27 @@ def test_sharded_step_matches_single_device():
     assert bad / total < 0.01, f"{bad}/{total} params differ beyond sign flips"
 
 
+def test_2d_mesh_step_matches_single_device():
+    # (data, seq) mesh: the folded batch/pair axis shards over the full axis
+    # product — validates the multi-axis sharding path end to end
+    mesh42 = get_mesh((4, 2))
+    mesh1 = get_mesh((1,))
+    assert mesh42.axis_names == ("data", "seq")
+
+    t42, batch = _setup(mesh42)
+    t1, _ = _setup(mesh1)
+    a42 = {k: v for k, v in shard_batch(batch, mesh42).items()
+           if isinstance(v, jax.Array)}
+    a1 = {k: v for k, v in shard_batch(batch, mesh1).items()
+          if isinstance(v, jax.Array)}
+    assert len(a42["strain_mat"].sharding.device_set) == 8
+
+    _, _, v42 = t42._train_step(t42.params, t42.opt_states, a42)
+    _, _, v1 = t1._train_step(t1.params, t1.opt_states, a1)
+    assert np.isclose(float(v42["total_loss"]), float(v1["total_loss"]),
+                      rtol=1e-5)
+
+
 def test_eval_step_sharded_preds_match(tmp_path):
     mesh8 = get_mesh((8,))
     mesh1 = get_mesh((1,))
