@@ -134,7 +134,7 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
     # radius suffices and cuts the tap loop ~7x. The 2-channel u_inv field is
     # warped by ONE multi-channel kernel sharing the tap weights across
     # channels (and channel-summing the disp cotangent).
-    step_radius = min(3, warp_radius) if warp_radius is not None else None
+    step_radius = min(2, warp_radius) if warp_radius is not None else None
     warp_vec = (lambda f, d: bilinear_warp_banded_multi(f, d,
                                                         radius=step_radius)) \
         if warp_radius is not None else \
