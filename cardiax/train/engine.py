@@ -180,6 +180,24 @@ class TrainerEngine:
         self.modules: Dict[str, Any] = {}
         self.bundles: Dict[str, Any] = {}
         self._warned_visualization = False
+        self._warned_disp_band = False
+        # the banded warp clamps |disp| at final_warp_radius - 1 px; warn when
+        # training displacements approach it (silent clamping would otherwise
+        # be invisible on data with larger-than-measured deformations)
+        radii = [int(mc.get("final_warp_radius", 12))
+                 for mc in self.full_config.get("networks", {}).values()
+                 if isinstance(mc, dict)]
+        self._disp_band = (max(radii) if radii else 12) - 1
+
+    def _check_displacement_band(self, max_disp: float) -> None:
+        if not self._warned_disp_band and max_disp > 0.9 * self._disp_band:
+            self._warned_disp_band = True
+            import warnings
+            warnings.warn(
+                f"max |displacement| {max_disp:.2f} px is within 10% of the "
+                f"banded-warp clamp ({self._disp_band} px); raise "
+                f"networks.*.final_warp_radius to avoid saturation",
+                RuntimeWarning)
 
     # ---- compiled steps ---------------------------------------------------- #
     def _make_steps(self):
@@ -189,6 +207,12 @@ class TrainerEngine:
         def loss_fn(params, arrays, train):
             preds, targets = scheme.forward(modules, params, arrays, train)
             total, values = loss_calc(preds, targets)
+            if "displacement" in preds:
+                # band-saturation guard for the banded warp kernels: the max
+                # |u_inv| this batch (see _check_displacement_band)
+                values = dict(values,
+                              max_abs_displacement=jnp.max(
+                                  jnp.abs(preds["displacement"])))
             return total, (values, preds)
 
         def train_step(params, opt_states, arrays):
@@ -347,8 +371,15 @@ class TrainerEngine:
                     from cardiax.io.profiling import print_trace_summary
                     print_trace_summary(profile_dir)
                 for k, v in values.items():
-                    accum[k] = accum.get(k, 0.0) + float(v)
-            epoch_metrics = {f"{prefix}train/{k}": v / max(1, n_batches)
+                    if k == "max_abs_displacement":   # epoch max, not mean
+                        fv = float(v)
+                        accum[k] = max(accum.get(k, 0.0), fv)
+                        self._check_displacement_band(fv)
+                    else:
+                        accum[k] = accum.get(k, 0.0) + float(v)
+            epoch_metrics = {f"{prefix}train/{k}":
+                             (v if k == "max_abs_displacement"
+                              else v / max(1, n_batches))
                              for k, v in accum.items()}
 
             # ---- val ----

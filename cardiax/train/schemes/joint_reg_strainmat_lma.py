@@ -69,6 +69,8 @@ class JointRegisterStrainmatLMAScheme(Scheme):
             "deformed_source": out["deformed_source"],
             "velocity": out["velocity"],
             "momentum": out["momentum"],
+            "displacement": out["displacement"],     # (B, P, 2, H, W); also
+            # feeds the engine's banded-warp saturation guard
             **lma_out,
         }
         targets = {

@@ -160,6 +160,26 @@ def test_joint_registration_strainmat_lma_scheme():
     assert p["TOS_pred"].shape == (NSEC,)
     assert np.isfinite(perf["final-val/sector_error"])
     assert "final-val/LMA_accuracy" in perf
+    # predicted Lagrangian displacement video is exported (and feeds the
+    # engine's banded-warp saturation guard)
+    assert p["displacement_pred"].shape[-3] == 2
+
+
+def test_displacement_band_guard_warns():
+    import types
+    import warnings
+    from cardiax.train.engine import TrainerEngine
+    ns = types.SimpleNamespace(_warned_disp_band=False, _disp_band=11)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TrainerEngine._check_displacement_band(ns, 5.0)   # far from the band
+        assert not w and not ns._warned_disp_band
+        TrainerEngine._check_displacement_band(ns, 10.5)  # within 10%
+        assert ns._warned_disp_band
+        assert any("final_warp_radius" in str(x.message) for x in w)
+        n = len(w)
+        TrainerEngine._check_displacement_band(ns, 11.0)  # warn once only
+        assert len(w) == n
 
 
 def test_joint_registration_regression_scheme():
