@@ -28,6 +28,12 @@ from cardiax.ops.warp import bilinear_warp, warp_vector_field
 from cardiax.ops.warp_pallas import bilinear_warp_banded_multi
 
 
+# Tests set True to force the fused Pallas scan core off-TPU (kernels then
+# run in interpret mode) so the pack/pad/fused integration path has CPU
+# coverage; None = use it exactly when the backend is TPU.
+_FORCE_FUSED: bool | None = None
+
+
 def _grad_hw(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Central-difference d/dy, d/dx of (..., H, W), one-sided at the borders.
 
@@ -146,7 +152,9 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
     # Items lane-pack into (pr, pc) grids per plane so the kernels run on
     # full (8, 128) VPU tiles and the packed solve fills the MXU
     # (epdiff_pallas module docstring).
-    use_fused = step_radius is not None and jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused = step_radius is not None and (
+        on_tpu if _FORCE_FUSED is None else _FORCE_FUSED)
     if use_fused:
         from cardiax.ops.epdiff_pallas import (epdiff_step,
                                                fused_step_supported,
@@ -174,12 +182,13 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
                 v = sharp_packed(m, h_full, w_full, alpha, gamma, power)
             else:
                 v = sharp(m, alpha, gamma, power)
+            interp = not on_tpu        # off-TPU only via the test hook
             if remat:
                 step_t = jax.checkpoint(lambda vv, mm, uu: epdiff_step(
-                    vv, mm, uu, dt, step_radius, False, h_full, w_full))
+                    vv, mm, uu, dt, step_radius, interp, h_full, w_full))
                 m, u_inv = step_t(v, m, u_inv)
             else:
-                m, u_inv = epdiff_step(v, m, u_inv, dt, step_radius, False,
+                m, u_inv = epdiff_step(v, m, u_inv, dt, step_radius, interp,
                                        h_full, w_full)
         if packed:
             u_inv = unpack_items(u_inv, pr, pc)

@@ -498,6 +498,32 @@ class TestPackedEPDiff:
                                        atol=1e-4, rtol=1e-4)
 
 
+class TestFusedShootingIntegration:
+    """The FULL fused scan path (pack plan + zero-pad + packed solve + fused
+    kernels, interpret mode) vs the exact gather scan — the code path the TPU
+    runs, driven on CPU via the shooting._FORCE_FUSED test hook."""
+
+    def test_fused_scan_matches_gather_including_pad(self, monkeypatch):
+        import cardiax.ops.shooting as sh
+        rng = np.random.default_rng(5)
+        # batch 5: pack_plan pads to a multiple of pr*pc
+        m0 = jnp.asarray(ndimage.gaussian_filter(
+            rng.normal(size=(5, 2, H, W)), 4.0).astype(np.float32) * 20.0)
+        u_ref, v_ref = expmap_shooting(m0, n_steps=3, warp_radius=None)
+        monkeypatch.setattr(sh, "_FORCE_FUSED", True)
+        u_fused, v_fused = expmap_shooting(m0, n_steps=3, warp_radius=8)
+        np.testing.assert_allclose(np.asarray(u_fused), np.asarray(u_ref),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v_fused), np.asarray(v_ref),
+                                   atol=1e-5)
+        g_ref = jax.grad(lambda m: jnp.sum(expmap_shooting(
+            m, n_steps=3, warp_radius=None)[0] ** 2))(m0)
+        g_fused = jax.grad(lambda m: jnp.sum(expmap_shooting(
+            m, n_steps=3, warp_radius=8)[0] ** 2))(m0)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   atol=2e-3, rtol=2e-3)
+
+
 class TestSpectralResize:
     def test_constant_preserved(self):
         from cardiax.ops.fluid_metric import spectral_resize
