@@ -7,10 +7,14 @@ section 2.12). Given initial momentum m0 (B, 2, H, W) and a fluid metric K:
     d m_t / dt = -ad*_{v_t} m_t = -[ (Dv)^T m + (Dm) v + m div v ]
     phi^{-1}_{t+dt}(x) = phi^{-1}_t(x - dt v_t(x))
 
-integrated with ``n_steps`` fixed Euler steps inside ``lax.scan`` (static trip
-count => one compiled loop body; ``jax.checkpoint`` on the body keeps autodiff
-memory O(1) in steps). Also provides stationary-velocity scaling-and-squaring
-(``expmap_svf``) as a cheaper diffeomorphic mode.
+integrated with ``n_steps`` fixed Euler steps as an explicitly-unrolled loop.
+On TPU each step's pointwise core (derivatives + ad* + the banded
+semi-Lagrangian warp) runs as one fused Pallas kernel with a hand-derived
+VJP on lane-packed item grids (``cardiax.ops.epdiff_pallas``); only the
+spectral solve v = K m stays in XLA as an MXU matmul. Off-TPU the same math
+runs as the composite JAX ops below (``jax.checkpoint`` optionally keeps
+autodiff memory O(1) in steps). Also provides stationary-velocity
+scaling-and-squaring (``expmap_svf``) as a cheaper diffeomorphic mode.
 
 All spatial derivatives are central differences with edge clamping, matching
 the finite-difference Laplacian used by the metric.
