@@ -34,7 +34,7 @@ STEPS = 30
 BASELINE_CACHE = REPO / "bench_baseline.json"
 
 
-def _measure_cardiax() -> float:
+def _measure_cardiax(batch: int = BATCH) -> float:
     import jax
     from cardiax.models import build_model
     from cardiax.parallel.mesh import get_mesh, shard_batch
@@ -42,9 +42,9 @@ def _measure_cardiax() -> float:
 
     import __graft_entry__ as ge
     cfg = ge._flagship_config(h=H, w=W, t_myo=T_FRAMES, t_strain=T_STRAIN,
-                              n_sectors=N_SECTORS, batch=BATCH)
+                              n_sectors=N_SECTORS, batch=batch)
     cfg["networks"]["joint_register_strainmat"]["n_integration_steps"] = 5
-    host_batch = ge._synthetic_batch(batch=BATCH, h=H, w=W, t_myo=T_FRAMES,
+    host_batch = ge._synthetic_batch(batch=batch, h=H, w=W, t_myo=T_FRAMES,
                                      t_strain=T_STRAIN, n_sectors=N_SECTORS)
 
     mesh = get_mesh()
@@ -89,20 +89,36 @@ def _baseline_slices_per_sec() -> dict:
     return out
 
 
-def main():
-    value = _measure_cardiax()
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=None, nargs="+",
+                   help="batch size(s) to measure; default: the reference's "
+                        "batch 10 (the driver-bench configuration). Multiple "
+                        "values print one extra JSON line per batch — the "
+                        "batch-scaling sweep (production operating point is "
+                        "~batch 20/chip; VERDICT r2 #9).")
+    args = p.parse_args(argv)
+    batches = args.batch or [BATCH]
+
     try:
         base = _baseline_slices_per_sec()
-        vs = value / base["slices_per_sec"] if base.get("slices_per_sec") else None
     except Exception as e:  # baseline failure must not kill the bench
         base = {"error": str(e)}
-        vs = None
-    print(json.dumps({
-        "metric": "joint_reg_strain_LMA_train_slices_per_sec_per_chip",
-        "value": round(value, 4),
-        "unit": "slices/sec/chip",
-        "vs_baseline": round(vs, 4) if vs is not None else None,
-    }))
+
+    for i, b in enumerate(batches):
+        value = _measure_cardiax(batch=b)
+        vs = value / base["slices_per_sec"] if base.get("slices_per_sec") else None
+        line = {
+            "metric": "joint_reg_strain_LMA_train_slices_per_sec_per_chip",
+            "value": round(value, 4),
+            "unit": "slices/sec/chip",
+            "vs_baseline": round(vs, 4) if vs is not None else None,
+        }
+        if b != BATCH:
+            line["batch"] = b   # only sweep lines carry the extra key; the
+            # default line stays exactly the driver's one-JSON-line contract
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -26,7 +26,14 @@ def save_predictions(preds: List[Dict[str, Any]], path: str | Path) -> None:
 
 def save_trained_models(saving_dir: str | Path, models: Dict[str, Any],
                         full_config: Dict[str, Any],
-                        performance: Dict[str, Any] | None = None) -> None:
+                        performance: Dict[str, Any] | None = None,
+                        example_args: Dict[str, tuple] | None = None) -> None:
+    """Persist config + performance + per-model msgpack params; additionally,
+    when ``saving.save_model_method`` (reference: ``saving.method``,
+    joint_registration_regression_trainer.py:1016-1067) selects a compiled
+    format ('jit'/'onnx'/'model_zip_state_dict'), run ``save_model`` per
+    bundle. ``example_args[name]`` supplies the apply args the compiled
+    formats need (from ``Scheme.example_model_args``)."""
     saving_dir = Path(saving_dir)
     saving_dir.mkdir(parents=True, exist_ok=True)
     with open(saving_dir / "config.json", "w") as f:
@@ -41,6 +48,23 @@ def save_trained_models(saving_dir: str | Path, models: Dict[str, Any],
             continue
         with open(saving_dir / f"model-{name}.msgpack", "wb") as f:
             f.write(serialization.to_bytes(params))
+    saving_conf = full_config.get("saving", {}) or {}
+    method = saving_conf.get("save_model_method") or saving_conf.get("method")
+    if method and method != "state_dict":    # state_dict == the msgpacks above
+        import warnings
+        for name, bundle in models.items():
+            if getattr(bundle, "params", None) is None:
+                continue
+            args = (example_args or {}).get(name)
+            if method in ("jit", "onnx") and args is None:
+                warnings.warn(
+                    f"save_model_method={method!r} needs example args for "
+                    f"model {name!r} (Scheme.example_model_args returned "
+                    f"none); wrote params-only msgpack instead")
+                continue
+            out = save_model(bundle, saving_dir / f"model-{name}",
+                             method=method, example_args=args)
+            print(f"exported model {name} ({method}) -> {out}")
 
 
 def load_model_params(path: str | Path, template: Any) -> Any:
@@ -82,7 +106,7 @@ def save_model(bundle: Any, path_stem: str | Path, method: str = "state_dict",
         with open(out, "wb") as f:
             f.write(exported.serialize())
         return out
-    if method == "model_zip_state_dict":
+    if method in ("model_zip_state_dict", "model_zip_state_dict_pt"):
         import cardiax
         out = path_stem.with_suffix(".zip")
         pkg_dir = Path(cardiax.__file__).parent
@@ -92,3 +116,12 @@ def save_model(bundle: Any, path_stem: str | Path, method: str = "state_dict",
             z.writestr("params.msgpack", serialization.to_bytes(bundle.params))
         return out
     raise ValueError(f"Unknown save method {method!r}")
+
+
+def load_exported(path: str | Path):
+    """Deserialize a ``save_model`` StableHLO artifact; the returned object's
+    ``.call(*args)`` reproduces the exported ``module.apply`` (round-trip
+    test-pinned in tests/test_export.py)."""
+    from jax import export as jax_export
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())

@@ -150,7 +150,27 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
                    if k.endswith("_model")}
         perf_all = {k: v for t in ("val", "test")
                     for k, v in results.get(f"{t}_performance", {}).items()}
-        save_trained_models(saving_dir, bundles, config, perf_all)
+        # compiled-format export (saving.save_model_method jit/onnx) needs
+        # per-model example apply args — derive them from one batch via the
+        # scheme (reference save_model's dummy inputs,
+        # joint_registration_regression_trainer.py:1040-1049)
+        example_args = None
+        method = saving.get("save_model_method") or saving.get("method")
+        if method in ("jit", "onnx") and trainer.params is not None:
+            import jax.numpy as jnp
+            src_name = next((n for n in ("train", "val", "test")
+                             if len(datasets.get(n, ())) > 0), None)
+            if src_name is not None:
+                ex = next(iter(trainer.scheme.make_loader(
+                    datasets[src_name],
+                    int(config["training"].get("batch_size", 10)),
+                    shuffle=False)))
+                arrays = {k: jnp.asarray(v) for k, v in ex.items()
+                          if isinstance(v, np.ndarray)}
+                example_args = trainer.scheme.example_model_args(
+                    trainer.modules, trainer.params, arrays)
+        save_trained_models(saving_dir, bundles, config, perf_all,
+                            example_args=example_args)
     if tracker is not None:
         tracker.finish()
     return results

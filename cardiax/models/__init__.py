@@ -70,6 +70,7 @@ def _build_registration(cfg: Dict[str, Any]) -> ModelBundle:
         shoot_downsample=int(cfg.get("shoot_downsample", 2)),
         reg_half_res=bool(cfg.get("reg_half_res", True)),
         final_warp_radius=int(cfg.get("final_warp_radius", 12)),
+        exact_warp=bool(cfg.get("exact_warp", False)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))
@@ -101,6 +102,7 @@ def _build_joint_register_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
         reg_half_res=bool(cfg.get("reg_half_res", True)),
         strain_downsample=int(cfg.get("strain_downsample", 2)),
         final_warp_radius=int(cfg.get("final_warp_radius", 12)),
+        exact_warp=bool(cfg.get("exact_warp", False)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))

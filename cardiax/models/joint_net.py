@@ -56,6 +56,10 @@ class JointRegisterStrainMatNet(nn.Module):
     strain_downsample: int = 2
     final_warp_radius: int = 12
     strain_features: int = 16
+    # exact_warp=True forces the XLA-gather warp + composite (non-Pallas) scan
+    # everywhere — the exact reference path, used as the all-approximations-OFF
+    # arm of the qualification A/B runs (STATUS.md)
+    exact_warp: bool = False
 
     @nn.compact
     def __call__(self, src_vol: jnp.ndarray, tar_vol: jnp.ndarray,
@@ -101,9 +105,11 @@ class JointRegisterStrainMatNet(nn.Module):
         u_inv, v0, u_low = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
             n_steps=self.n_integration_steps,
+            warp_radius=None if self.exact_warp else 8,
             shoot_downsample=self.shoot_downsample, return_low=True)
         deformed = deform_image(src, u_inv,
-                                warp_radius=self.final_warp_radius,
+                                warp_radius=None if self.exact_warp
+                                else self.final_warp_radius,
                                 img_const=True)                   # (B*P, 1, H, W)
 
         # 2. regroup displacements into a motion video for the strain head

@@ -41,6 +41,9 @@ class RegistrationNet(nn.Module):
     shoot_downsample: int = 2
     reg_half_res: bool = True
     final_warp_radius: int = 12
+    # exact_warp=True forces the XLA-gather warp + composite scan (the exact
+    # reference path; all-OFF arm of the qualification A/B, STATUS.md)
+    exact_warp: bool = False
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tar: jnp.ndarray,
@@ -53,9 +56,11 @@ class RegistrationNet(nn.Module):
         u_inv, v0 = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,
             n_steps=self.n_integration_steps,
+            warp_radius=None if self.exact_warp else 8,
             shoot_downsample=self.shoot_downsample)
         deformed = deform_image(src, u_inv,
-                                warp_radius=self.final_warp_radius,
+                                warp_radius=None if self.exact_warp
+                                else self.final_warp_radius,
                                 img_const=True)
         return {
             "displacement": u_inv,

@@ -55,8 +55,22 @@ def build_optimizer(opt_conf: Dict[str, Any], steps_per_epoch: int,
     else:
         schedule = lr
     kind = opt_conf.get("type", "Adam").lower()
-    if kind == "adam":
-        return optax.adamw(schedule, weight_decay=wd) if wd else optax.adam(schedule)
+    if kind in ("adam", "adamw"):
+        if not wd:
+            return optax.adam(schedule)
+        # torch.optim.Adam(weight_decay=wd) is COUPLED L2: wd*theta is added to
+        # the gradient BEFORE the Adam moments (reference
+        # joint_registration_strainmat_LMA.py:55-70, configs/config.json:139-152),
+        # so reference configs must NOT map to optax.adamw (decoupled decay,
+        # applied after the moments — a different optimizer trajectory).
+        # AdamW is available opt-in via type: "AdamW" or
+        # decoupled_weight_decay: true.
+        if kind == "adamw" or bool(opt_conf.get("decoupled_weight_decay", False)):
+            return optax.adamw(schedule, weight_decay=wd)
+        return optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(schedule))
     if kind == "sgd":
         mom = float(opt_conf.get("momentum", 0.0))
         tx = optax.sgd(schedule, momentum=mom or None)
@@ -104,6 +118,16 @@ class Scheme:
                 arrays: Dict[str, jnp.ndarray], train: bool
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         raise NotImplementedError
+
+    def example_model_args(self, modules: Dict[str, Any], params: Dict[str, Any],
+                           arrays: Dict[str, jnp.ndarray]
+                           ) -> Dict[str, tuple]:
+        """Per-model example ``module.apply`` args for compiled-artifact export
+        (``save_model`` methods 'jit'/'onnx' — reference save_model's
+        dummy-input construction, joint_registration_regression_trainer.py:
+        1040-1049). Schemes override; models absent from the returned dict
+        fall back to params-only export with a warning."""
+        return {}
 
     # ---- visualization ------------------------------------------------------ #
     def visualize(self, batch: Dict[str, Any], preds_np: Dict[str, Any],

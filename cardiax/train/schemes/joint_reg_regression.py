@@ -140,3 +140,12 @@ class JointRegistrationRegressionScheme(Scheme):
             targets["displacement_field_Y"] = self._flatten_pairs(
                 arrays["displacement_field_Y"])
         return preds, targets
+
+    def example_model_args(self, modules, params, arrays):
+        rkey = self._rkey(params)
+        s, p = arrays["source_img"].shape[:2]
+        src = self._flatten_pairs(arrays["source_img"])
+        tar = self._flatten_pairs(arrays["target_img"])
+        reg_out = modules[rkey].apply(params[rkey], src, tar)
+        video = self._make_video(reg_out["displacement"], (s, p))
+        return {rkey: (src, tar), "LMA": (video,)}

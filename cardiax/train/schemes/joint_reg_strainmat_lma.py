@@ -55,6 +55,14 @@ class JointRegisterStrainmatLMAScheme(Scheme):
 
         return jax.jit(init_all)(rng, vol)
 
+    def example_model_args(self, modules, params, arrays):
+        vol = arrays["cine_myo_mask"]
+        src, tar = _lagrangian_pairs(vol)
+        out = modules["joint_register_strainmat"].apply(
+            params["joint_register_strainmat"], src, tar)
+        return {"joint_register_strainmat": (src, tar),
+                "LMA": (out["strain_matrix"],)}
+
     def forward(self, modules, params, arrays, train: bool
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         vol = arrays["cine_myo_mask"]

@@ -52,3 +52,6 @@ class LMAScheme(Scheme):
         preds = modules["LMA"].apply(params["LMA"], x, train=train)
         targets = {k: arrays[k] for k in _TARGET_KEYS if k in arrays}
         return preds, targets
+
+    def example_model_args(self, modules, params, arrays):
+        return {"LMA": (self._input(arrays),)}

@@ -68,6 +68,10 @@ class RegScheme(Scheme):
                 targets[k] = arrays[k]
         return preds, targets
 
+    def example_model_args(self, modules, params, arrays):
+        key = self._key(params)
+        return {key: (arrays["source_img"], arrays["target_img"])}
+
     def performance(self, preds, dataset_name):
         """Registration quality: mean squared reconstruction error."""
         perf = super().performance(preds, dataset_name)

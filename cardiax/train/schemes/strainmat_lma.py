@@ -56,3 +56,8 @@ class StrainMatLMAScheme(Scheme):
             if k in arrays:
                 targets[k] = arrays[k]
         return preds, targets
+
+    def example_model_args(self, modules, params, arrays):
+        disp = arrays["displacement_field"]
+        strainmat = modules["strain"].apply(params["strain"], disp)["strainmat"]
+        return {"strain": (disp,), "LMA": (strainmat[:, None],)}

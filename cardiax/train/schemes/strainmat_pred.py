@@ -51,6 +51,9 @@ class StrainMatPredScheme(Scheme):
                 targets[k] = arrays[k]
         return preds, targets
 
+    def example_model_args(self, modules, params, arrays):
+        return {self._key(params): (arrays["displacement_field"],)}
+
     def performance(self, preds, dataset_name):
         perf = super().performance(preds, dataset_name)
         errs = []

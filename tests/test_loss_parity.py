@@ -58,6 +58,76 @@ def test_mse_and_ce_match_torch():
     assert np.isclose(float(vals["ce"]), float(t_ce), rtol=1e-5)
 
 
+def test_coupled_adam_matches_torch():
+    """Reference configs use torch.optim.Adam(weight_decay=1e-4) — COUPLED L2
+    (wd*theta added to the gradient before the moments, reference
+    joint_registration_strainmat_LMA.py:55-70, configs/config.json:139-152).
+    Pin 5 optimizer steps of cardiax's build_optimizer against torch on a
+    fixed gradient sequence; also pin that decoupled (AdamW) diverges."""
+    import jax
+    from cardiax.train.engine import build_optimizer
+
+    rng = np.random.default_rng(7)
+    theta0 = rng.normal(size=(13,)).astype(np.float32)
+    grads = [rng.normal(size=(13,)).astype(np.float32) for _ in range(5)]
+    lr, wd = 1e-2, 1e-2   # large wd so coupled-vs-decoupled is visible
+
+    # torch coupled Adam
+    t_theta = torch.nn.Parameter(torch.from_numpy(theta0.copy()))
+    t_opt = torch.optim.Adam([t_theta], lr=lr, weight_decay=wd)
+    for g in grads:
+        t_opt.zero_grad()
+        t_theta.grad = torch.from_numpy(g.copy())
+        t_opt.step()
+
+    def run(conf):
+        tx = build_optimizer(conf, steps_per_epoch=1, total_epochs=5)
+        p = {"w": jnp.asarray(theta0)}
+        st = tx.init(p)
+        for g in grads:
+            upd, st = tx.update({"w": jnp.asarray(g)}, st, p)
+            p = jax.tree_util.tree_map(lambda a, b: a + b, p, upd)
+        return np.asarray(p["w"])
+
+    coupled = run({"type": "Adam", "learning_rate": lr, "weight_decay": wd})
+    assert np.allclose(coupled, t_theta.detach().numpy(), atol=1e-6), (
+        np.abs(coupled - t_theta.detach().numpy()).max())
+
+    decoupled = run({"type": "Adam", "learning_rate": lr, "weight_decay": wd,
+                     "decoupled_weight_decay": True})
+    assert not np.allclose(decoupled, t_theta.detach().numpy(), atol=1e-5)
+
+
+def test_coupled_sgd_matches_torch():
+    """torch.optim.SGD(momentum, weight_decay) also couples wd into the
+    gradient before the momentum buffer."""
+    import jax
+    from cardiax.train.engine import build_optimizer
+
+    rng = np.random.default_rng(8)
+    theta0 = rng.normal(size=(9,)).astype(np.float32)
+    grads = [rng.normal(size=(9,)).astype(np.float32) for _ in range(4)]
+    lr, wd, mom = 1e-2, 1e-2, 0.9
+
+    t_theta = torch.nn.Parameter(torch.from_numpy(theta0.copy()))
+    t_opt = torch.optim.SGD([t_theta], lr=lr, momentum=mom, weight_decay=wd)
+    for g in grads:
+        t_theta.grad = torch.from_numpy(g.copy())
+        t_opt.step()
+
+    tx = build_optimizer({"type": "SGD", "learning_rate": lr,
+                          "weight_decay": wd, "momentum": mom},
+                         steps_per_epoch=1, total_epochs=4)
+    p = {"w": jnp.asarray(theta0)}
+    st = tx.init(p)
+    for g in grads:
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, p)
+        p = jax.tree_util.tree_map(lambda a, b: a + b, p, upd)
+    ours = np.asarray(p["w"])
+    assert np.allclose(ours, t_theta.detach().numpy(), atol=1e-6), (
+        np.abs(ours - t_theta.detach().numpy()).max())
+
+
 def test_sector_error_identity():
     """sector_error = sum |TOS_pred - TOS_GT| / (N * 126)
     (reference joint_registration_strainmat_LMA.py:384-428)."""

@@ -237,3 +237,36 @@ def test_joint_analytic_strain_path():
         p, jnp.asarray(src), jnp.asarray(tar))["strain_matrix"] ** 2))(params)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_joint_exact_warp_arm_matches_default():
+    """networks.*.exact_warp=true (the all-approximations-OFF qualification
+    arm, tools/qualify_stack.py) must run the XLA-gather warp + composite scan
+    and agree with the default banded path for in-band displacements."""
+    import jax
+    import jax.numpy as jnp
+    from cardiax.models import build_model
+
+    data = _slice_data(n_subjects=2)
+    vol = np.stack([d["cine_lv_myo_masks"] for d in data])
+    vol = np.moveaxis(vol, -1, 1)[:, None]
+    src = np.broadcast_to(vol[:, :, :1], vol[:, :, :-1].shape).copy()
+    tar = vol[:, :, 1:]
+
+    base_cfg = {"type": "JointRegisterStrainMatNet",
+                "n_strain_matrix_frames": 12, "reg_features": 8,
+                "n_integration_steps": 2, "shoot_downsample": 1,
+                "strain_downsample": 1, "reg_half_res": False}
+    b_def = build_model(base_cfg)
+    b_exact = build_model({**base_cfg, "exact_warp": True})
+    assert b_exact.module.exact_warp and not b_def.module.exact_warp
+    params = jax.jit(b_def.module.init)(jax.random.PRNGKey(0),
+                                        jnp.asarray(src), jnp.asarray(tar))
+    out_d = jax.jit(lambda p, s, t: b_def.module.apply(p, s, t))(
+        params, jnp.asarray(src), jnp.asarray(tar))
+    out_e = jax.jit(lambda p, s, t: b_exact.module.apply(p, s, t))(
+        params, jnp.asarray(src), jnp.asarray(tar))
+    for k in ("deformed_source", "strain_matrix", "displacement"):
+        np.testing.assert_allclose(np.asarray(out_d[k]), np.asarray(out_e[k]),
+                                   atol=1e-5,
+                                   err_msg=f"exact vs banded mismatch on {k}")
