@@ -60,6 +60,9 @@ class JointRegisterStrainMatNet(nn.Module):
     # everywhere — the exact reference path, used as the all-approximations-OFF
     # arm of the qualification A/B runs (STATUS.md)
     exact_warp: bool = False
+    # item->channel packing of the momentum UNet (unet.py); ~bf16-ULP-exact,
+    # disabled in the qualification OFF arm alongside exact_warp
+    channel_pack: bool = True
 
     @nn.compact
     def __call__(self, src_vol: jnp.ndarray, tar_vol: jnp.ndarray,
@@ -100,7 +103,9 @@ class JointRegisterStrainMatNet(nn.Module):
         x = jnp.concatenate([src, tar], axis=1)
         x = jnp.moveaxis(x, 1, -1)
         m0 = MomentumUNet(self.reg_features, self.reg_levels,
-                          half_res=self.reg_half_res, name="momentum_unet")(x)
+                          half_res=self.reg_half_res,
+                          channel_pack=self.channel_pack,
+                          name="momentum_unet")(x)
         m0 = jnp.moveaxis(m0, -1, 1)                          # (B*P, 2, H, W)
         u_inv, v0, u_low = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,

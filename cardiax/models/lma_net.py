@@ -47,7 +47,10 @@ class SectorConvBlock(nn.Module):
         x = _circular_pad_sectors(x, pad_s)
         x = nn.Conv(self.features, self.kernel, padding=((0, 0), (self.kernel[1] // 2,) * 2),
                     dtype=x.dtype)(x)
-        x = nn.GroupNorm(num_groups=min(8, self.features))(x)
+        # pinned dtype: the default would promote bf16 -> f32 through the f32
+        # scale/bias params and de-bf16 every later conv (see unet.ConvBlock)
+        x = nn.GroupNorm(num_groups=min(8, self.features),
+                         dtype=jnp.bfloat16)(x)
         return nn.gelu(x)
 
 

@@ -44,6 +44,8 @@ class RegistrationNet(nn.Module):
     # exact_warp=True forces the XLA-gather warp + composite scan (the exact
     # reference path; all-OFF arm of the qualification A/B, STATUS.md)
     exact_warp: bool = False
+    # item->channel packing of the momentum UNet (unet.py); ~bf16-ULP-exact
+    channel_pack: bool = True
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tar: jnp.ndarray,
@@ -51,7 +53,8 @@ class RegistrationNet(nn.Module):
         x = jnp.concatenate([src, tar], axis=1)          # (B, 2, H, W) NCHW
         x = jnp.moveaxis(x, 1, -1)                        # NHWC for the UNet
         m0 = MomentumUNet(self.features, self.n_levels,
-                          half_res=self.reg_half_res)(x)
+                          half_res=self.reg_half_res,
+                          channel_pack=self.channel_pack)(x)
         m0 = jnp.moveaxis(m0, -1, 1)                      # (B, 2, H, W)
         u_inv, v0 = expmap_shooting(
             m0, alpha=self.alpha, gamma=self.gamma, power=self.fluid_power,

@@ -36,13 +36,29 @@ class SpatioTemporalBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3),
                     strides=(self.spatial_stride,) * 2, dtype=x.dtype)(y)
         h2, w2 = y.shape[1], y.shape[2]
-        y = nn.GroupNorm(num_groups=min(8, self.features))(y)
+        # pinned dtype: the default promotes bf16 -> f32 via the f32
+        # scale/bias params and de-bf16s the rest of the trunk (unet.ConvBlock)
+        y = nn.GroupNorm(num_groups=min(8, self.features),
+                         dtype=jnp.bfloat16)(y)
         y = nn.gelu(y)
         y = y.reshape(b, t, h2, w2, self.features)
-        prev = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
-        nxt = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)
-        z = jnp.concatenate([prev, y, nxt], axis=-1)
-        z = nn.Dense(self.features, dtype=x.dtype)(z)      # (3,1,1) mix as matmul
+        # temporal (3,1,1) mix as ONE (C -> 3F) matmul on y followed by
+        # shift-adds of the F-wide products — same math as
+        # Dense(concat([prev, y, nxt])) with kernel row-blocks [W_p; W_y; W_n]
+        # (z_t = W_p y_{t-1} + W_y y_t + W_n y_{t+1}, edges replicated), but
+        # never materializes the 3C-wide concat (round-3 profile: the concat's
+        # split/slice transpose cost ~0.5 ms/step). Param shape/init matches
+        # the Dense it replaces (lecun_normal fan_in = 3C).
+        f = self.features
+        kernel = self.param("mix_kernel", nn.initializers.lecun_normal(),
+                            (3 * f, f), jnp.float32)
+        bias = self.param("mix_bias", nn.initializers.zeros, (f,), jnp.float32)
+        k3 = kernel.reshape(3, f, f).astype(y.dtype)
+        m = jnp.einsum("bthwc,kcf->kbthwf", y, k3)
+        m_p, m_y, m_n = m[0], m[1], m[2]
+        z = (jnp.concatenate([m_p[:, :1], m_p[:, :-1]], axis=1) + m_y
+             + jnp.concatenate([m_n[:, 1:], m_n[:, -1:]], axis=1)
+             + bias.astype(y.dtype))
         return nn.gelu(z + y)
 
 

@@ -6,24 +6,148 @@ Reconstruction of the registration backbone from the paper's description
 NHWC layout, stride-2 convs (MXU) instead of pooling, bfloat16 activations
 with float32 momentum output (the shooting core runs f32 for stability,
 SURVEY.md section 7.3).
+
+Item->channel packing (round 3): the UNet's channel counts (16/32/64) leave
+the MXU contraction and the VPU lanes mostly idle — a 16-channel weight-grad
+matmul uses ~7% of the MXU, and norm/gelu on 16-wide tensors use 16 of 128
+lanes. ``PackedConvBlock`` packs G = 128 // C independent batch items into the
+channel axis and runs ONE dense conv with a block-diagonal kernel
+(kron(I_G, W)): the zero off-diagonal blocks are free because the MXU pads
+the contraction anyway — the same argument as the lane-packed EPDiff scan and
+its block-diagonal spectral solve (ops/epdiff_pallas.py). Per-item GroupNorm
+stats are computed inside the packed layout (groups never cross item
+boundaries), so the math is EXACTLY the unpacked model's — parity is
+test-pinned (tests/test_ops.py-style A/B in tests/test_schemes.py) and no
+accuracy requalification is needed.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _pack_items(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (ceil(N/g), H, W, g*C), item-major channel blocks.
+    Pads N up to a multiple of g with zero items (discarded by _unpack_items).
+    """
+    n, h, w, c = x.shape
+    if g == 1:
+        return x
+    pad = (-n) % g
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, h, w, c), x.dtype)], axis=0)
+    m = x.shape[0] // g
+    return x.reshape(m, g, h, w, c).transpose(0, 2, 3, 1, 4) \
+        .reshape(m, h, w, g * c)
+
+
+def _unpack_items(x: jnp.ndarray, g: int, n: int) -> jnp.ndarray:
+    """Inverse of _pack_items; slices back to the original n items."""
+    if g == 1:
+        return x
+    m, h, w, gc = x.shape
+    c = gc // g
+    out = x.reshape(m, h, w, g, c).transpose(0, 3, 1, 2, 4) \
+        .reshape(m * g, h, w, c)
+    return out[:n]
+
+
+def _repack(x: jnp.ndarray, g_from: int, g_to: int, n: int) -> jnp.ndarray:
+    if g_from == g_to:
+        return x
+    return _pack_items(_unpack_items(x, g_from, n), g_to)
+
+
+def _packed_concat(a: jnp.ndarray, b: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Channel-concat that keeps per-item blocks contiguous in the packed
+    layout (plain concat would interleave items across group boundaries)."""
+    if g == 1:
+        return jnp.concatenate([a, b], axis=-1)
+    m, h, w, gca = a.shape
+    ca, cb = gca // g, b.shape[-1] // g
+    ar = a.reshape(m, h, w, g, ca)
+    br = b.reshape(m, h, w, g, cb)
+    return jnp.concatenate([ar, br], axis=-1).reshape(m, h, w, g * (ca + cb))
+
+
+def _block_diag_kernel(kernel: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(kh, kw, C, F) -> (kh, kw, g*C, g*F) = kron(I_g, W) over channels."""
+    if g == 1:
+        return kernel
+    kh, kw, c, f = kernel.shape
+    eye = jnp.eye(g, dtype=kernel.dtype)
+    return jnp.einsum("yxcf,gh->yxgchf", kernel, eye) \
+        .reshape(kh, kw, g * c, g * f)
+
+
+class PackedConv(nn.Module):
+    """3x3 conv on a g-packed layout with shared per-item weights. With g=1
+    this is exactly ``nn.Conv(features, (3, 3), strides, dtype=x.dtype)``
+    (same init: lecun_normal over (3, 3, C, F), zero bias)."""
+    features: int
+    stride: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = self.groups
+        c_in = x.shape[-1] // g
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        w = _block_diag_kernel(kernel.astype(x.dtype), g)
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(self.stride, self.stride), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b = bias if g == 1 else jnp.tile(bias, g)
+        return y + b.astype(y.dtype)
+
+
+class PackedConvBlock(nn.Module):
+    """conv + per-item GroupNorm + gelu on a g-packed layout. GroupNorm
+    mirrors flax exactly (f32 fast-variance stats over (H, W, group), eps
+    1e-6, bf16 output — see flax.linen.normalization._compute_stats) with the
+    group axis nested INSIDE each item's channel block."""
+    features: int
+    stride: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = self.groups
+        y = PackedConv(self.features, self.stride, g, name="conv")(x)
+        n_groups = min(8, self.features)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        shift = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+        m, h, w, gc = y.shape
+        gs = self.features // n_groups
+        yr = y.reshape(m, h, w, g, n_groups, gs)
+        y32 = yr.astype(jnp.float32)
+        mu = y32.mean(axis=(1, 2, 5), keepdims=True)
+        mu2 = (y32 * y32).mean(axis=(1, 2, 5), keepdims=True)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        mul = jax.lax.rsqrt(var + 1e-6) \
+            * scale.reshape(1, 1, 1, 1, n_groups, gs)
+        out = (y32 - mu) * mul + shift.reshape(1, 1, 1, 1, n_groups, gs)
+        out = out.astype(jnp.bfloat16).reshape(m, h, w, gc)
+        return nn.gelu(out)
+
+
+# Back-compat alias for external users of the original block (g=1 semantics).
 class ConvBlock(nn.Module):
     features: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    dtype=x.dtype)(x)
-        x = nn.GroupNorm(num_groups=min(8, self.features))(x)
-        return nn.gelu(x)
+        return PackedConvBlock(self.features, self.stride, groups=1,
+                               name="block")(x)
 
 
 class MomentumUNet(nn.Module):
@@ -36,34 +160,61 @@ class MomentumUNet(nn.Module):
     reachable velocity fields are (near-)identical while the conv stack — the
     train step's largest cost at full res — shrinks ~4x. Accuracy
     qualification in STATUS.md.
+
+    ``channel_pack``: item->channel packing of the low-channel levels (module
+    docstring); exact math, auto-disabled per level when the packed conv
+    would not fill more of the MXU (g=1).
     """
     features: int = 16
     n_levels: int = 3
     half_res: bool = False
+    channel_pack: bool = True
+
+    def _g(self, features: int, n_items: int) -> int:
+        if not self.channel_pack:
+            return 1
+        return max(1, min(128 // features, n_items))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h_full, w_full = x.shape[1], x.shape[2]
+        n_items, h_full, w_full = x.shape[0], x.shape[1], x.shape[2]
         x = x.astype(jnp.bfloat16)
         f = self.features
         half = self.half_res and h_full % 2 == 0 and w_full % 2 == 0 \
             and min(h_full, w_full) >= 4 * (2 ** self.n_levels)
+
+        g = self._g(f, n_items)
+        x = _pack_items(x, g)
         if half:
-            x = ConvBlock(f, stride=2)(x)                         # learned stem
+            x = PackedConvBlock(f, stride=2, groups=g)(x)         # learned stem
         skips = []
+        gs = []
         for lvl in range(self.n_levels):
-            x = ConvBlock(f * (2 ** lvl))(x)
+            fl = f * (2 ** lvl)
+            g_new = self._g(fl, n_items)
+            x = _repack(x, g, g_new, n_items)
+            g = g_new
+            x = PackedConvBlock(fl, groups=g)(x)
             skips.append(x)
-            x = ConvBlock(f * (2 ** lvl), stride=2)(x)
-        x = ConvBlock(f * (2 ** self.n_levels))(x)
-        x = ConvBlock(f * (2 ** self.n_levels))(x)
+            gs.append(g)
+            x = PackedConvBlock(fl, stride=2, groups=g)(x)
+        fb = f * (2 ** self.n_levels)
+        g_new = self._g(fb, n_items)
+        x = _repack(x, g, g_new, n_items)
+        g = g_new
+        x = PackedConvBlock(fb, groups=g)(x)
+        x = PackedConvBlock(fb, groups=g)(x)
         for lvl in reversed(range(self.n_levels)):
-            b, h, w, c = x.shape
+            fl = f * (2 ** lvl)
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)   # nearest 2x up
-            x = nn.Conv(f * (2 ** lvl), (3, 3), dtype=x.dtype)(x)
+            g_new = gs[lvl]
+            x = _repack(x, g, g_new, n_items)
+            g = g_new
+            x = PackedConv(fl, groups=g)(x)
             skip = skips[lvl]
-            x = jnp.concatenate([x[:, : skip.shape[1], : skip.shape[2]], skip], axis=-1)
-            x = ConvBlock(f * (2 ** lvl))(x)
+            x = _packed_concat(x[:, : skip.shape[1], : skip.shape[2]], skip, g)
+            x = PackedConvBlock(fl, groups=g)(x)
+        x = _unpack_items(x, g, n_items)
         x = x.astype(jnp.float32)
         # zero-init the momentum head: shooting starts from identity at init,
         # which keeps early training stable (standard diffeomorphic-reg trick).

@@ -81,6 +81,21 @@ def ad_star(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([out_y, out_x], axis=1)
 
 
+def scan_plan(h: int, w: int, warp_radius: int | None = 8,
+              backend: str | None = None) -> str:
+    """Which EPDiff scan engages on an (H, W) integration grid:
+    'fused_pallas' (one fused kernel + hand-derived VJP per step) or
+    'composite' (per-op XLA + individual warp kernels). Pure function of
+    shape+backend so tests can pin the selection for TPU shapes off-TPU
+    (tests/test_kernel_selection.py). NOTE: with shoot_downsample=ds the
+    integration grid is (H/ds, W/ds), not the frame size."""
+    backend = backend or jax.default_backend()
+    if warp_radius is None or backend != "tpu":
+        return "composite"
+    from cardiax.ops.epdiff_pallas import fused_step_supported
+    return "fused_pallas" if fused_step_supported(h, w) else "composite"
+
+
 def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
                     power: int = 2, n_steps: int = 5,
                     warp_radius: int | None = 8,
@@ -164,7 +179,14 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
                                                fused_step_supported,
                                                pack_items, pack_plan,
                                                unpack_items)
-        use_fused = fused_step_supported(h_full, w_full)
+        if not fused_step_supported(h_full, w_full):
+            use_fused = False
+            from cardiax.ops.warp_pallas import _warn_fallback_once
+            _warn_fallback_once(
+                f"EPDiff scan ({h_full}x{w_full})",
+                "the composite (per-op) scan: plane exceeds the fused "
+                "kernel's VMEM block limit — per-step warps use the "
+                "banded/tiled kernels individually")
 
     if use_fused:
         from cardiax.ops.fluid_metric import sharp_packed

@@ -1,0 +1,62 @@
+"""Pin which kernel engages at which shape (VERDICT r2 #3): the selection
+logic is factored into pure functions of (shape, backend) so TPU-shape
+decisions are testable on the CPU suite, and silent fallbacks warn once."""
+
+import warnings
+
+import pytest
+
+from cardiax.ops.shooting import scan_plan
+from cardiax.ops.warp_pallas import (_MAX_VMEM_PIXELS, _warn_fallback_once,
+                                     _warned_fallback, warp_plan)
+
+
+@pytest.mark.parametrize("h,w,expect", [
+    (128, 128, "pallas_full"),      # reference shape
+    (256, 256, "pallas_full"),      # clinical pre-resize
+    (512, 512, "pallas_full"),      # == VMEM block limit
+    (640, 640, "pallas_tiled"),     # > limit, 64 | H
+    (1024, 1024, "pallas_tiled"),   # STATUS large-frame bench shape
+    (1000, 1000, "pallas_tiled"),   # only tr=8 divides
+    (1021, 1021, "xla_gather"),     # untileable height
+])
+def test_warp_plan_tpu_shapes(h, w, expect):
+    assert warp_plan(h, w, radius=12, backend="tpu") == expect
+
+
+def test_warp_plan_off_tpu_is_gather():
+    assert warp_plan(128, 128, radius=12, backend="cpu") == "xla_gather"
+
+
+@pytest.mark.parametrize("h,w,expect", [
+    (64, 64, "fused_pallas"),       # flagship shoot grid (128^2, ds=2)
+    (128, 128, "fused_pallas"),     # 256^2 frames at ds=2
+    (256, 256, "fused_pallas"),     # 512^2 frames at ds=2
+    (512, 512, "fused_pallas"),     # == limit (1024^2 at ds=2)
+    (640, 640, "composite"),        # beyond the fused kernel's block limit
+])
+def test_scan_plan_tpu_shapes(h, w, expect):
+    assert scan_plan(h, w, warp_radius=8, backend="tpu") == expect
+
+
+def test_scan_plan_exact_mode_is_composite():
+    # warp_radius=None is the exact_warp qualification arm
+    assert scan_plan(64, 64, warp_radius=None, backend="tpu") == "composite"
+    assert scan_plan(64, 64, warp_radius=8, backend="cpu") == "composite"
+
+
+def test_limit_constant_consistency():
+    # the plan boundary IS the VMEM block limit
+    assert warp_plan(512, 512, 12, "tpu") == "pallas_full"
+    assert 512 * 512 == _MAX_VMEM_PIXELS
+
+
+def test_fallback_warns_exactly_once():
+    _warned_fallback.discard(("stage-x", "reason-y"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _warn_fallback_once("stage-x", "reason-y")
+        _warn_fallback_once("stage-x", "reason-y")
+    msgs = [w for w in caught if "stage-x" in str(w.message)]
+    assert len(msgs) == 1
+    assert "falling back to reason-y" in str(msgs[0].message)

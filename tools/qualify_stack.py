@@ -40,7 +40,8 @@ TEST_SUBJ = [f"CT{i}" for i in range(32, 48)]     # 16 subjects -> 32 slices
 VAL_SUBJ = [f"CT{i}" for i in range(24, 32)]      # 8 subjects  -> 16 slices
 
 OFF_OVERRIDES = {"shoot_downsample": 1, "reg_half_res": False,
-                 "strain_downsample": 1, "exact_warp": True}
+                 "strain_downsample": 1, "exact_warp": True,
+                 "channel_pack": False}
 
 METRIC_KEYS = [
     "final-test/sector_error", "final-test/LMA_auc", "final-test/LMA_f1_best",
