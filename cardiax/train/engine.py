@@ -288,6 +288,43 @@ class TrainerEngine:
         self.params = replicate(self.params, self.mesh)
         self.opt_states = replicate(self.opt_states, self.mesh)
         self._make_steps()
+        self._log_kernel_plans(example_batch)
+
+    def _log_kernel_plans(self, batch: Dict[str, Any]) -> None:
+        """One-line report of which compute path each hot stage will take at
+        this run's frame size (VERDICT r2 #3: no silent kernel selection).
+        Frame-shaped inputs: (..., H, W) with H, W >= 16."""
+        arr = None
+        for key in ("cine_myo_mask", "source_img", "displacement_field"):
+            v = batch.get(key)
+            if v is not None and getattr(v, "ndim", 0) >= 3:
+                arr = v
+                break
+        if arr is None:
+            return
+        h, w = int(arr.shape[-2]), int(arr.shape[-1])
+        if min(h, w) < 16:
+            return
+        from cardiax.ops.shooting import scan_plan
+        from cardiax.ops.warp_pallas import warp_plan
+        plans = []
+        for name, mc in self.full_config.get("networks", {}).items():
+            if not isinstance(mc, dict) or "n_integration_steps" not in mc \
+                    and mc.get("type") not in ("JointRegisterStrainMatNet",
+                                               "RegistrationNet",
+                                               "VoxelmorphLike"):
+                continue
+            ds = int(mc.get("shoot_downsample", 2))
+            ds = ds if ds > 1 and h % ds == 0 and w % ds == 0 \
+                and min(h, w) >= 4 * ds else 1
+            exact = bool(mc.get("exact_warp", False))
+            radius = None if exact else 8
+            plans.append(
+                f"{name}: scan={scan_plan(h // ds, w // ds, radius)}"
+                f"@{h // ds}x{w // ds}, final_warp="
+                f"{'xla_gather' if exact else warp_plan(h, w, int(mc.get('final_warp_radius', 12)))}")
+        if plans:
+            print(f"kernel plans ({h}x{w}): " + "; ".join(plans))
 
     # ---- training loop ------------------------------------------------------ #
     def train(self, models: Dict[str, Any], datasets: Dict[str, Any],
