@@ -71,7 +71,7 @@ def _build_registration(cfg: Dict[str, Any]) -> ModelBundle:
         reg_half_res=bool(cfg.get("reg_half_res", True)),
         final_warp_radius=int(cfg.get("final_warp_radius", 12)),
         exact_warp=bool(cfg.get("exact_warp", False)),
-        channel_pack=bool(cfg.get("channel_pack", True)),
+        channel_pack=bool(cfg.get("channel_pack", False)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))
@@ -104,7 +104,7 @@ def _build_joint_register_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
         strain_downsample=int(cfg.get("strain_downsample", 2)),
         final_warp_radius=int(cfg.get("final_warp_radius", 12)),
         exact_warp=bool(cfg.get("exact_warp", False)),
-        channel_pack=bool(cfg.get("channel_pack", True)),
+        channel_pack=bool(cfg.get("channel_pack", False)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))

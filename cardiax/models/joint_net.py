@@ -60,9 +60,11 @@ class JointRegisterStrainMatNet(nn.Module):
     # everywhere — the exact reference path, used as the all-approximations-OFF
     # arm of the qualification A/B runs (STATUS.md)
     exact_warp: bool = False
-    # item->channel packing of the momentum UNet (unet.py); ~bf16-ULP-exact,
-    # disabled in the qualification OFF arm alongside exact_warp
-    channel_pack: bool = True
+    # item->channel packing of the momentum UNet (unet.py); ~bf16-ULP-exact.
+    # OFF by default: packed convs win level-by-level microbenchmarks but the
+    # pack/repack relayouts break XLA's conv+norm+gelu fusion and the FULL
+    # joint step regresses (~305 vs ~625 slices/sec on v5e-1, STATUS.md).
+    channel_pack: bool = False
 
     @nn.compact
     def __call__(self, src_vol: jnp.ndarray, tar_vol: jnp.ndarray,

@@ -44,8 +44,11 @@ class RegistrationNet(nn.Module):
     # exact_warp=True forces the XLA-gather warp + composite scan (the exact
     # reference path; all-OFF arm of the qualification A/B, STATUS.md)
     exact_warp: bool = False
-    # item->channel packing of the momentum UNet (unet.py); ~bf16-ULP-exact
-    channel_pack: bool = True
+    # item->channel packing of the momentum UNet (unet.py); ~bf16-ULP-exact.
+    # OFF by default: packed convs win level-by-level microbenchmarks but the
+    # pack/repack relayouts between levels break XLA's conv+norm+gelu fusion
+    # and the FULL joint step regresses (303 vs 625 slices/sec on v5e-1).
+    channel_pack: bool = False
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tar: jnp.ndarray,

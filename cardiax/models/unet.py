@@ -11,10 +11,12 @@ Item->channel packing (round 3): the UNet's channel counts (16/32/64) leave
 the MXU contraction and the VPU lanes mostly idle — a 16-channel weight-grad
 matmul uses ~7% of the MXU, and norm/gelu on 16-wide tensors use 16 of 128
 lanes. ``PackedConvBlock`` packs G = 128 // C independent batch items into the
-channel axis and runs ONE dense conv with a block-diagonal kernel
-(kron(I_G, W)): the zero off-diagonal blocks are free because the MXU pads
-the contraction anyway — the same argument as the lane-packed EPDiff scan and
-its block-diagonal spectral solve (ops/epdiff_pallas.py). Per-item GroupNorm
+channel axis and runs ONE grouped conv (``feature_group_count=G`` with the
+shared per-item kernel tiled across groups): identical math to a dense
+kron(I_G, W) block-diagonal kernel at 1/G the MACs, and measured faster than
+both that dense form and the unpacked conv at every UNet level on v5e — the
+layout argument is the same as the lane-packed EPDiff scan and its
+block-diagonal spectral solve (ops/epdiff_pallas.py). Per-item GroupNorm
 stats are computed inside the packed layout (groups never cross item
 boundaries), so the math is EXACTLY the unpacked model's — parity is
 test-pinned (tests/test_ops.py-style A/B in tests/test_schemes.py) and no
@@ -73,16 +75,6 @@ def _packed_concat(a: jnp.ndarray, b: jnp.ndarray, g: int) -> jnp.ndarray:
     return jnp.concatenate([ar, br], axis=-1).reshape(m, h, w, g * (ca + cb))
 
 
-def _block_diag_kernel(kernel: jnp.ndarray, g: int) -> jnp.ndarray:
-    """(kh, kw, C, F) -> (kh, kw, g*C, g*F) = kron(I_g, W) over channels."""
-    if g == 1:
-        return kernel
-    kh, kw, c, f = kernel.shape
-    eye = jnp.eye(g, dtype=kernel.dtype)
-    return jnp.einsum("yxcf,gh->yxgchf", kernel, eye) \
-        .reshape(kh, kw, g * c, g * f)
-
-
 class PackedConv(nn.Module):
     """3x3 conv on a g-packed layout with shared per-item weights. With g=1
     this is exactly ``nn.Conv(features, (3, 3), strides, dtype=x.dtype)``
@@ -99,10 +91,16 @@ class PackedConv(nn.Module):
                             (3, 3, c_in, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        w = _block_diag_kernel(kernel.astype(x.dtype), g)
+        # Grouped conv: group i convolves item i's channel block with the
+        # SAME shared W — identical math to kron(I_g, W) but at 1/g the MACs
+        # (measured faster than both the dense block-diagonal kernel and the
+        # unpacked conv at every UNet level on v5e).
+        k = kernel.astype(x.dtype)
+        w = k if g == 1 else jnp.concatenate([k] * g, axis=-1)
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(self.stride, self.stride), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g)
         b = bias if g == 1 else jnp.tile(bias, g)
         return y + b.astype(y.dtype)
 
@@ -163,12 +161,15 @@ class MomentumUNet(nn.Module):
 
     ``channel_pack``: item->channel packing of the low-channel levels (module
     docstring); exact math, auto-disabled per level when the packed conv
-    would not fill more of the MXU (g=1).
+    would not fill more of the MXU (g=1). Default OFF: packed convs win
+    per-level microbenchmarks but the pack/repack relayouts between levels
+    break XLA's cross-layer fusion and the full joint step regresses
+    (~305 vs ~625 slices/sec on v5e-1) — kept as a tested opt-in.
     """
     features: int = 16
     n_levels: int = 3
     half_res: bool = False
-    channel_pack: bool = True
+    channel_pack: bool = False
 
     def _g(self, features: int, n_items: int) -> int:
         if not self.channel_pack:
