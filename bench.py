@@ -70,7 +70,7 @@ def _measure_cardiax(batch: int = BATCH) -> float:
     dt = (time.perf_counter() - t0) / STEPS
     assert loss == loss, "NaN loss in benchmark step"
     n_chips = jax.device_count()
-    return BATCH / dt / n_chips
+    return batch / dt / n_chips
 
 
 def _baseline_slices_per_sec() -> dict:

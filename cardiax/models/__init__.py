@@ -58,6 +58,14 @@ def _build_disp_lma(cfg: Dict[str, Any]) -> ModelBundle:
     return ModelBundle(module=module, config=dict(cfg))
 
 
+def _coerce_pack(v):
+    """channel_pack config: False/0 off, True adaptive per-level g, int>1
+    fixed g (pack once, no inter-level relayouts — see unet.MomentumUNet)."""
+    if isinstance(v, bool):
+        return v
+    return int(v) if int(v) > 1 else False
+
+
 def _build_registration(cfg: Dict[str, Any]) -> ModelBundle:
     from cardiax.models.registration import RegistrationNet
     module = RegistrationNet(
@@ -71,7 +79,7 @@ def _build_registration(cfg: Dict[str, Any]) -> ModelBundle:
         reg_half_res=bool(cfg.get("reg_half_res", True)),
         final_warp_radius=int(cfg.get("final_warp_radius", 12)),
         exact_warp=bool(cfg.get("exact_warp", False)),
-        channel_pack=bool(cfg.get("channel_pack", False)),
+        channel_pack=_coerce_pack(cfg.get("channel_pack", False)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))
@@ -104,7 +112,7 @@ def _build_joint_register_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
         strain_downsample=int(cfg.get("strain_downsample", 2)),
         final_warp_radius=int(cfg.get("final_warp_radius", 12)),
         exact_warp=bool(cfg.get("exact_warp", False)),
-        channel_pack=bool(cfg.get("channel_pack", False)),
+        channel_pack=_coerce_pack(cfg.get("channel_pack", False)),
     )
     return ModelBundle(module=module, config=dict(cfg),
                        sigma=float(cfg.get("sigma", 0.03)))

@@ -26,7 +26,7 @@ TPU-first composition — everything below is ONE jitted fwd-bwd graph:
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -64,7 +64,7 @@ class JointRegisterStrainMatNet(nn.Module):
     # OFF by default: packed convs win level-by-level microbenchmarks but the
     # pack/repack relayouts break XLA's conv+norm+gelu fusion and the FULL
     # joint step regresses (~305 vs ~625 slices/sec on v5e-1, STATUS.md).
-    channel_pack: bool = False
+    channel_pack: Any = False
 
     @nn.compact
     def __call__(self, src_vol: jnp.ndarray, tar_vol: jnp.ndarray,

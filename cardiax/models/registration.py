@@ -22,7 +22,7 @@ gather warp) is one differentiable jitted graph; the lagomorph CUDA surface
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -48,7 +48,7 @@ class RegistrationNet(nn.Module):
     # OFF by default: packed convs win level-by-level microbenchmarks but the
     # pack/repack relayouts between levels break XLA's conv+norm+gelu fusion
     # and the FULL joint step regresses (303 vs 625 slices/sec on v5e-1).
-    channel_pack: bool = False
+    channel_pack: Any = False
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tar: jnp.ndarray,

@@ -25,6 +25,8 @@ accuracy requalification is needed.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -169,12 +171,18 @@ class MomentumUNet(nn.Module):
     features: int = 16
     n_levels: int = 3
     half_res: bool = False
-    channel_pack: bool = False
+    channel_pack: Any = False
 
     def _g(self, features: int, n_items: int) -> int:
-        if not self.channel_pack:
+        cp = self.channel_pack
+        if not cp:
             return 1
-        return max(1, min(128 // features, n_items))
+        if cp is True:                       # per-level adaptive (fills lanes,
+            return max(1, min(128 // features, n_items))   # but relayouts)
+        # fixed g: pack ONCE at the input, unpack ONCE at the output — every
+        # level keeps the same g so _repack is a no-op everywhere and XLA's
+        # cross-layer fusion is undisturbed (the adaptive mode's regression).
+        return max(1, min(int(cp), n_items))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

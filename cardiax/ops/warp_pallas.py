@@ -48,6 +48,13 @@ DEFAULT_RADIUS = 8
 # frames whose height none of the tile sizes divide take the XLA-gather
 # fallback
 _MAX_VMEM_PIXELS = 512 * 512
+# The differentiable full-frame warp keeps ~5 live (H, W) f32 buffers in its
+# TRANSPOSE (d/d img) kernel where the forward keeps 4; with Mosaic's ~4x
+# allocation overestimate the bwd exceeds the 16 MB scoped-VMEM limit at
+# exactly 512x512 (measured on v5e: 20.08 MB requested). Frames above this
+# bound dispatch to the TILED kernels for BOTH fwd and bwd, keeping the
+# custom_vjp pair on one path.
+_MAX_FULL_WARP_PIXELS = 512 * 384
 # fully-unrolled tap loop limits (beyond: fori_loop + dynamic rotate).
 # With the d-only hat weights hoisted out of the column loop the per-tap
 # program is tiny and radius 16 (1089 taps) compiles and runs ~5x faster than
@@ -69,7 +76,7 @@ def warp_plan(h: int, w: int, radius: int, backend: str | None = None) -> str:
     backend = backend or jax.default_backend()
     if backend != "tpu":
         return "xla_gather"
-    if h * w <= _MAX_VMEM_PIXELS:
+    if h * w <= _MAX_FULL_WARP_PIXELS:
         return "pallas_full"
     if _tile_plan(h, w, radius) is not None:
         return "pallas_tiled"
@@ -528,8 +535,8 @@ def bilinear_warp_banded_multi(field: jnp.ndarray, disp: jnp.ndarray,
     mc_ok = taps <= (_UNROLL_TAP_LIMIT if _precompute_wys_ok(h, w, radius)
                      else _UNROLL_TAP_LIMIT_NOPRE)
     use_kernel = interpret if interpret is not None else (
-        jax.default_backend() == "tpu" and h * w <= _MAX_VMEM_PIXELS)
-    if not use_kernel or c > 4 or h * w > _MAX_VMEM_PIXELS or not mc_ok:
+        jax.default_backend() == "tpu" and h * w <= _MAX_FULL_WARP_PIXELS)
+    if not use_kernel or c > 4 or h * w > _MAX_FULL_WARP_PIXELS or not mc_ok:
         from cardiax.ops.warp import warp_vector_field
         f = jax.lax.stop_gradient(field) if img_const else field
         wf = lambda i, d: bilinear_warp_banded(i, d, radius=radius,  # noqa: E731
@@ -774,7 +781,7 @@ def _banded_warp_nhw(img, disp, radius: int, interpret: bool):
     h, w = img.shape[-2:]
     args = (img.astype(jnp.float32), disp[:, 0].astype(jnp.float32),
             disp[:, 1].astype(jnp.float32))
-    if h * w > _MAX_VMEM_PIXELS:
+    if h * w > _MAX_FULL_WARP_PIXELS:
         tr = _tile_plan(h, w, radius)
         assert tr is not None, "caller must check _tile_plan before dispatch"
         return _run_tiled("value", args[0], args[1], args[2], radius,
@@ -792,7 +799,7 @@ def _banded_bwd(radius, interpret, res, g):
     args = (img.astype(f32), disp[:, 0].astype(f32), disp[:, 1].astype(f32))
     g32 = g.astype(f32)
     h, w = img.shape[-2:]
-    if h * w > _MAX_VMEM_PIXELS:
+    if h * w > _MAX_FULL_WARP_PIXELS:
         tr = _tile_plan(h, w, radius)
         ddy = _run_tiled("ddy", *args, radius, interpret, tr)
         ddx = _run_tiled("ddx", *args, radius, interpret, tr)
@@ -835,7 +842,7 @@ def bilinear_warp_banded(img: jnp.ndarray, disp: jnp.ndarray,
             from cardiax.ops.warp import bilinear_warp
             return bilinear_warp(img, disp)
         interpret = False
-    elif img.shape[-2] * img.shape[-1] > _MAX_VMEM_PIXELS \
+    elif img.shape[-2] * img.shape[-1] > _MAX_FULL_WARP_PIXELS \
             and _tile_plan(img.shape[-2], img.shape[-1], radius) is None:
         from cardiax.ops.warp import bilinear_warp
         return bilinear_warp(img, disp)

@@ -7,14 +7,17 @@ import warnings
 import pytest
 
 from cardiax.ops.shooting import scan_plan
-from cardiax.ops.warp_pallas import (_MAX_VMEM_PIXELS, _warn_fallback_once,
-                                     _warned_fallback, warp_plan)
+from cardiax.ops.warp_pallas import (_MAX_FULL_WARP_PIXELS, _MAX_VMEM_PIXELS,
+                                     _warn_fallback_once, _warned_fallback,
+                                     warp_plan)
 
 
 @pytest.mark.parametrize("h,w,expect", [
     (128, 128, "pallas_full"),      # reference shape
     (256, 256, "pallas_full"),      # clinical pre-resize
-    (512, 512, "pallas_full"),      # == VMEM block limit
+    (512, 512, "pallas_tiled"),     # bwd transpose kernel exceeds scoped
+                                    # VMEM at 512^2 (measured 20.08 MB) ->
+                                    # tiled for fwd AND bwd
     (640, 640, "pallas_tiled"),     # > limit, 64 | H
     (1024, 1024, "pallas_tiled"),   # STATUS large-frame bench shape
     (1000, 1000, "pallas_tiled"),   # only tr=8 divides
@@ -46,9 +49,13 @@ def test_scan_plan_exact_mode_is_composite():
 
 
 def test_limit_constant_consistency():
-    # the plan boundary IS the VMEM block limit
-    assert warp_plan(512, 512, 12, "tpu") == "pallas_full"
-    assert 512 * 512 == _MAX_VMEM_PIXELS
+    # the full-warp boundary sits BELOW the raw VMEM block limit: the
+    # differentiable warp's transpose kernel keeps ~5 live planes vs the
+    # forward's 4, and overflows scoped VMEM at exactly 512^2 (20.08 MB
+    # measured vs the 16 MB limit) — 512^2 must therefore tile
+    assert warp_plan(512, 384, 12, "tpu") == "pallas_full"
+    assert warp_plan(512, 512, 12, "tpu") == "pallas_tiled"
+    assert _MAX_FULL_WARP_PIXELS == 512 * 384 < _MAX_VMEM_PIXELS == 512 * 512
 
 
 def test_fallback_warns_exactly_once():

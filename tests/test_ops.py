@@ -576,6 +576,7 @@ class TestTiledBandedWarp:
     def _tiled(self, monkeypatch):
         import cardiax.ops.warp_pallas as wp
         monkeypatch.setattr(wp, "_MAX_VMEM_PIXELS", 1024)
+        monkeypatch.setattr(wp, "_MAX_FULL_WARP_PIXELS", 1024)
         monkeypatch.setattr(wp, "_TILE_ROWS", 16)
         return wp
 
@@ -588,7 +589,7 @@ class TestTiledBandedWarp:
     def test_tiled_forward_matches_reference(self, monkeypatch):
         wp = self._tiled(monkeypatch)
         img, disp = self._data()
-        assert img.shape[-2] * img.shape[-1] > wp._MAX_VMEM_PIXELS
+        assert img.shape[-2] * img.shape[-1] > wp._MAX_FULL_WARP_PIXELS
         ref = bilinear_warp(img, disp)
         out = wp.bilinear_warp_banded(img, disp, radius=8, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -30,6 +30,33 @@ def test_packed_concat_keeps_item_blocks():
         np.asarray(out), np.asarray(jnp.concatenate([a, b], axis=-1)))
 
 
+def test_fixed_g_pack_matches_unpacked():
+    """channel_pack=<int> keeps ONE fixed g at every level (pack once, no
+    inter-level relayouts); same exactness contract as the adaptive mode."""
+    rng = np.random.default_rng(5)
+    h = 32
+    x = jnp.asarray(rng.normal(size=(10, h, h, 2)).astype(np.float32))
+    m_fix = MomentumUNet(features=8, n_levels=2, half_res=True,
+                         channel_pack=2)
+    m_ref = MomentumUNet(features=8, n_levels=2, half_res=True,
+                         channel_pack=False)
+    params = jax.jit(m_fix.init)(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * jnp.ones_like(a), params)
+    y_fix = jax.jit(m_fix.apply)(params, x)
+    y_ref = jax.jit(m_ref.apply)(params, x)
+    assert y_fix.shape == (10, h, h, 2)
+    scale_y = float(jnp.max(jnp.abs(y_ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(y_fix - y_ref))) <= 5e-3 * scale_y
+
+
+def test_coerce_pack_config_values():
+    from cardiax.models import _coerce_pack
+    assert _coerce_pack(False) is False and _coerce_pack(True) is True
+    assert _coerce_pack(0) is False and _coerce_pack(1) is False
+    assert _coerce_pack(2) == 2 and _coerce_pack("4") == 4
+
+
 @pytest.mark.parametrize("n_items,half", [(12, False), (10, True)])
 def test_packed_unet_matches_unpacked(n_items, half):
     """Same params, packed vs unpacked compute: outputs and grads equal.
