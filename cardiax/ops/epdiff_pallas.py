@@ -58,7 +58,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cardiax.ops.warp_pallas import _MAX_VMEM_PIXELS, _dhat, _hat, _shifted
+from cardiax.ops.warp_pallas import _dhat, _hat, _shifted
 
 
 def _local_iotas(shape, h_item: int, w_item: int):
@@ -332,19 +332,29 @@ def unpack_items(y: jnp.ndarray, pr: int, pc: int) -> jnp.ndarray:
     return y.transpose(0, 2, 4, 1, 3, 5).reshape(g * pr * pc, c, h, w)
 
 
+# The fused step kernel (and its VJP) keeps ~10 live (h, w) f32 planes
+# (m, v, u, partial sums), far more than the 4-5 of the plain warp kernels;
+# MEASURED compile boundary on v5e: 256x256 planes compile and run (both the
+# standalone probe and the 512^2-frame bench), 512x256 and 512x512 planes
+# crash the Mosaic compile (scoped-VMEM stack, the warp-transpose failure
+# class). Grids beyond this take the composite per-op scan — exact, just
+# slower. Applies to the PACKED plane size too (pack_plan below).
+_MAX_FUSED_SCAN_PIXELS = 256 * 256
+
+
 def fused_step_supported(h: int, w: int) -> bool:
     """Full-frame VMEM blocks only (the shooting grid is always small)."""
-    return h * w <= _MAX_VMEM_PIXELS
+    return h * w <= _MAX_FUSED_SCAN_PIXELS
 
 
 def pack_plan(n: int, h: int, w: int):
     """(pr, pc, n_pad) maximizing lane/sublane fill: pack pairs along lanes
     until the packed width reaches 128 f32 lanes, and along rows to amortize
-    per-op overhead, within the VMEM block budget."""
+    per-op overhead, within the fused kernel's measured plane budget."""
     pr = pc = 1
-    while w * pc < 128 and (h * pr) * (w * pc * 2) <= _MAX_VMEM_PIXELS:
+    while w * pc < 128 and (h * pr) * (w * pc * 2) <= _MAX_FUSED_SCAN_PIXELS:
         pc *= 2
-    if (h * pr * 2) * (w * pc) <= _MAX_VMEM_PIXELS and h * pr < 256:
+    if (h * pr * 2) * (w * pc) <= _MAX_FUSED_SCAN_PIXELS and h * pr < 256:
         pr *= 2
     n_pad = (-n) % (pr * pc)
     return pr, pc, n_pad

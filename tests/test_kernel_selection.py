@@ -34,8 +34,9 @@ def test_warp_plan_off_tpu_is_gather():
 @pytest.mark.parametrize("h,w,expect", [
     (64, 64, "fused_pallas"),       # flagship shoot grid (128^2, ds=2)
     (128, 128, "fused_pallas"),     # 256^2 frames at ds=2
-    (256, 256, "fused_pallas"),     # 512^2 frames at ds=2
-    (512, 512, "fused_pallas"),     # == limit (1024^2 at ds=2)
+    (256, 256, "fused_pallas"),     # 512^2 frames at ds=2 == measured limit
+    (512, 256, "composite"),        # measured Mosaic compile crash beyond
+    (512, 512, "composite"),        # 256^2 planes (scoped-VMEM stack)
     (640, 640, "composite"),        # beyond the fused kernel's block limit
 ])
 def test_scan_plan_tpu_shapes(h, w, expect):
