@@ -40,6 +40,14 @@ def run_kfold(config: Dict[str, Any], folds: Sequence[Sequence[str]],
                                          trainer_config=tcfg, full_config=config)
         perf_all: Dict[str, float] = {}
         for target in ("val", "test"):
+            if target not in datasets or len(datasets[target]) == 0:
+                # patterns are ANCHORED regexes over subject/slice ids
+                # (re.match) — a bare substring like "CT00" matches nothing
+                import warnings
+                warnings.warn(
+                    f"fold {fold_cfg['fold_idx']}: {target} split is EMPTY — "
+                    f"fold patterns are anchored regexes (use '.*CT00.*', "
+                    f"not 'CT00'); performance will be blank", RuntimeWarning)
             if target in datasets and len(datasets[target]) > 0:
                 _, perf, tracker = trainer.test(
                     models=trained, datasets=datasets, trainer_config=tcfg,

@@ -270,3 +270,38 @@ def test_joint_exact_warp_arm_matches_default():
         np.testing.assert_allclose(np.asarray(out_d[k]), np.asarray(out_e[k]),
                                    atol=1e-5,
                                    err_msg=f"exact vs banded mismatch on {k}")
+
+
+def test_temporal_mix_matches_dense_concat():
+    """SpatioTemporalBlock's one-matmul temporal mix == Dense over the
+    [prev, y, next] concat with the SAME (3F, F) kernel (row blocks
+    [W_p; W_y; W_n]) — the formulation it replaced (round-3 perf work)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cardiax.models.strain_net import SpatioTemporalBlock
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 5, 8, 8, 6)).astype(np.float32))
+    blk = SpatioTemporalBlock(features=6)
+    params = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(blk.apply)(params, x)
+
+    # reference recomputation of the block with explicit concat+Dense mix
+    p = params["params"]
+    y = jax.lax.conv_general_dilated(
+        x.reshape(10, 8, 8, 6), p["Conv_0"]["kernel"].astype(x.dtype),
+        (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + p["Conv_0"]["bias"]
+    import flax.linen as nn
+    y = nn.GroupNorm(num_groups=6, dtype=jnp.bfloat16).apply(
+        {"params": p["GroupNorm_0"]}, y)
+    y = nn.gelu(y).reshape(2, 5, 8, 8, 6)
+    prev = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
+    nxt = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)
+    z = jnp.concatenate([prev, y, nxt], axis=-1).astype(jnp.float32)
+    z = z @ p["mix_kernel"] + p["mix_bias"]
+    ref = nn.gelu(z.astype(y.dtype) + y)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
