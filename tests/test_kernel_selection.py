@@ -68,3 +68,18 @@ def test_fallback_warns_exactly_once():
     msgs = [w for w in caught if "stage-x" in str(w.message)]
     assert len(msgs) == 1
     assert "falling back to reason-y" in str(msgs[0].message)
+
+
+def test_pack_plan_respects_fused_scan_budget():
+    """pack_plan must never produce a packed plane above the MEASURED fused-
+    kernel compile boundary (256^2 px): a 250^2 grid used to pack rows x2
+    into a 125k-px plane under the old 512^2 budget and crash Mosaic."""
+    from cardiax.ops.epdiff_pallas import _MAX_FUSED_SCAN_PIXELS, pack_plan
+    assert _MAX_FUSED_SCAN_PIXELS == 256 * 256
+    for n, h, w in [(6, 64, 64), (10, 128, 128), (4, 250, 250),
+                    (2, 256, 256), (3, 90, 90), (8, 32, 48)]:
+        pr, pc, n_pad = pack_plan(n, h, w)
+        assert (h * pr) * (w * pc) <= _MAX_FUSED_SCAN_PIXELS, (h, w, pr, pc)
+        assert (n + n_pad) % (pr * pc) == 0
+    # flagship shape keeps its 2x2 packing (perf-load-bearing)
+    assert pack_plan(190, 64, 64)[:2] == (2, 2)
