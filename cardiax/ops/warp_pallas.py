@@ -537,6 +537,18 @@ def bilinear_warp_banded_multi(field: jnp.ndarray, disp: jnp.ndarray,
     use_kernel = interpret if interpret is not None else (
         jax.default_backend() == "tpu" and h * w <= _MAX_FULL_WARP_PIXELS)
     if not use_kernel or c > 4 or h * w > _MAX_FULL_WARP_PIXELS or not mc_ok:
+        if jax.default_backend() == "tpu" and interpret is None:
+            # only the mc-specific demotions are worth a warning; frame-size
+            # routing already warns inside bilinear_warp_banded
+            if c > 4:
+                _warn_fallback_once(
+                    f"multi-channel warp (c={c}, {h}x{w}, r={radius})",
+                    "per-channel kernels: channel count > 4")
+            elif not mc_ok:
+                _warn_fallback_once(
+                    f"multi-channel warp ({h}x{w}, r={radius})",
+                    f"per-channel kernels: {taps} taps exceed the mc unroll "
+                    "limit (shared-tap kernel and img_const VJP skip lost)")
         from cardiax.ops.warp import warp_vector_field
         f = jax.lax.stop_gradient(field) if img_const else field
         wf = lambda i, d: bilinear_warp_banded(i, d, radius=radius,  # noqa: E731

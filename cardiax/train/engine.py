@@ -294,15 +294,21 @@ class TrainerEngine:
         """One-line report of which compute path each hot stage will take at
         this run's frame size (VERDICT r2 #3: no silent kernel selection).
         Frame-shaped inputs: (..., H, W) with H, W >= 16."""
-        arr = None
-        for key in ("cine_myo_mask", "source_img", "displacement_field"):
+        # (H, W) axis positions per key: cine_myo_mask (B,1,T,H,W) and
+        # source_img (B,1,H,W) end in (H, W); displacement_field is
+        # (B,2,H,W,T) — time LAST (datasets.py StrainMatDataset), so its
+        # frame dims sit one axis earlier
+        hw = None
+        for key, (ha, wa) in (("cine_myo_mask", (-2, -1)),
+                              ("source_img", (-2, -1)),
+                              ("displacement_field", (-3, -2))):
             v = batch.get(key)
             if v is not None and getattr(v, "ndim", 0) >= 3:
-                arr = v
+                hw = (int(v.shape[ha]), int(v.shape[wa]))
                 break
-        if arr is None:
+        if hw is None:
             return
-        h, w = int(arr.shape[-2]), int(arr.shape[-1])
+        h, w = hw
         if min(h, w) < 16:
             return
         from cardiax.ops.shooting import scan_plan

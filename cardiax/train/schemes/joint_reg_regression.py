@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from cardiax.data.loader import SliceBatcher
@@ -146,6 +147,9 @@ class JointRegistrationRegressionScheme(Scheme):
         s, p = arrays["source_img"].shape[:2]
         src = self._flatten_pairs(arrays["source_img"])
         tar = self._flatten_pairs(arrays["target_img"])
-        reg_out = modules[rkey].apply(params[rkey], src, tar)
-        video = self._make_video(reg_out["displacement"], (s, p))
+        # abstract trace only (see joint_reg_strainmat_lma.example_model_args)
+        reg_sd = jax.eval_shape(modules[rkey].apply, params[rkey], src, tar)
+        disp = jnp.zeros(reg_sd["displacement"].shape,
+                         reg_sd["displacement"].dtype)
+        video = self._make_video(disp, (s, p))
         return {rkey: (src, tar), "LMA": (video,)}

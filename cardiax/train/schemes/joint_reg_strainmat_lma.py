@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,10 +59,15 @@ class JointRegisterStrainmatLMAScheme(Scheme):
     def example_model_args(self, modules, params, arrays):
         vol = arrays["cine_myo_mask"]
         src, tar = _lagrangian_pairs(vol)
-        out = modules["joint_register_strainmat"].apply(
+        # shapes only: jax.eval_shape traces abstractly — an un-jitted eager
+        # forward here costs minutes over the tunneled TPU (CLAUDE.md) for
+        # nothing (jax.export only needs example ARG shapes/dtypes)
+        out_sd = jax.eval_shape(
+            modules["joint_register_strainmat"].apply,
             params["joint_register_strainmat"], src, tar)
+        sm = out_sd["strain_matrix"]
         return {"joint_register_strainmat": (src, tar),
-                "LMA": (out["strain_matrix"],)}
+                "LMA": (jnp.zeros(sm.shape, sm.dtype),)}
 
     def forward(self, modules, params, arrays, train: bool
                 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:

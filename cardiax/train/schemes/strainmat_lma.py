@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from cardiax.train.engine import Scheme
@@ -59,5 +60,8 @@ class StrainMatLMAScheme(Scheme):
 
     def example_model_args(self, modules, params, arrays):
         disp = arrays["displacement_field"]
-        strainmat = modules["strain"].apply(params["strain"], disp)["strainmat"]
-        return {"strain": (disp,), "LMA": (strainmat[:, None],)}
+        # abstract trace only (see joint_reg_strainmat_lma.example_model_args)
+        sm = jax.eval_shape(modules["strain"].apply,
+                            params["strain"], disp)["strainmat"]
+        return {"strain": (disp,),
+                "LMA": (jnp.zeros(sm.shape, sm.dtype)[:, None],)}

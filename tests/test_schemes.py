@@ -239,13 +239,28 @@ def test_joint_analytic_strain_path():
                for x in jax.tree_util.tree_leaves(g))
 
 
-def test_joint_exact_warp_arm_matches_default():
+def test_joint_exact_warp_arm_matches_default(monkeypatch):
     """networks.*.exact_warp=true (the all-approximations-OFF qualification
     arm, tools/qualify_stack.py) must run the XLA-gather warp + composite scan
-    and agree with the default banded path for in-band displacements."""
+    and agree with the default banded path for in-band displacements.
+
+    Off-TPU the banded arm would silently fall back to the very gather/
+    composite path it is compared against (a vacuous self-comparison), so the
+    default arm's TPU kernels are FORCED here: the fused Pallas scan via the
+    shooting._FORCE_FUSED hook and the banded final warp via interpret=True
+    — the same Mosaic-interpreter coverage as tests/test_ops.py."""
     import jax
     import jax.numpy as jnp
     from cardiax.models import build_model
+    from cardiax.ops import shooting as sh
+
+    monkeypatch.setattr(sh, "_FORCE_FUSED", True)
+    orig_multi = sh.bilinear_warp_banded_multi
+    monkeypatch.setattr(
+        sh, "bilinear_warp_banded_multi",
+        lambda field, disp, radius=8, interpret=None, img_const=False:
+            orig_multi(field, disp, radius=radius, interpret=True,
+                       img_const=img_const))
 
     data = _slice_data(n_subjects=2)
     vol = np.stack([d["cine_lv_myo_masks"] for d in data])
@@ -256,7 +271,8 @@ def test_joint_exact_warp_arm_matches_default():
     base_cfg = {"type": "JointRegisterStrainMatNet",
                 "n_strain_matrix_frames": 12, "reg_features": 8,
                 "n_integration_steps": 2, "shoot_downsample": 1,
-                "strain_downsample": 1, "reg_half_res": False}
+                "strain_downsample": 1, "reg_half_res": False,
+                "final_warp_radius": 4}   # keep the interpreted unroll small
     b_def = build_model(base_cfg)
     b_exact = build_model({**base_cfg, "exact_warp": True})
     assert b_exact.module.exact_warp and not b_def.module.exact_warp

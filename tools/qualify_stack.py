@@ -144,8 +144,11 @@ def main(argv=None):
         vals = {t: r.get(key) for t, r in summary["runs"].items()}
         if any(v is None for v in vals.values()):
             continue
+        # ON-OFF deltas only when both arms actually ran (a single-arm
+        # invocation via --arms must still produce a summary)
         deltas = [abs(vals[f"on_seed{s}"] - vals[f"off_seed{s}"])
-                  for s in args.seeds]
+                  for s in args.seeds] \
+            if {"on", "off"} <= set(args.arms) else []
         noise = []
         if len(args.seeds) >= 2:
             for a in args.arms:
