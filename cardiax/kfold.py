@@ -40,14 +40,16 @@ def run_kfold(config: Dict[str, Any], folds: Sequence[Sequence[str]],
                                          trainer_config=tcfg, full_config=config)
         perf_all: Dict[str, float] = {}
         for target in ("val", "test"):
-            if target not in datasets or len(datasets[target]) == 0:
-                # patterns are ANCHORED regexes over subject/slice ids
-                # (re.match) — a bare substring like "CT00" matches nothing
+            if target in datasets and len(datasets[target]) == 0:
+                # patterns match via re.match (anchored at the START of the
+                # subject/slice id) — a mid-id token like "CT00" against ids
+                # "SET00-CT00" needs a ".*CT00.*" wrapper
                 import warnings
                 warnings.warn(
-                    f"fold {fold_cfg['fold_idx']}: {target} split is EMPTY — "
-                    f"fold patterns are anchored regexes (use '.*CT00.*', "
-                    f"not 'CT00'); performance will be blank", RuntimeWarning)
+                    f"fold {fold_cfg['fold_idx']}: the {target} split matched "
+                    f"0 slices — fold patterns are start-anchored regexes "
+                    f"(re.match); wrap mid-id tokens as '.*CT00.*'. "
+                    f"Performance will be blank", RuntimeWarning)
             if target in datasets and len(datasets[target]) > 0:
                 _, perf, tracker = trainer.test(
                     models=trained, datasets=datasets, trainer_config=tcfg,

@@ -63,7 +63,14 @@ def _coerce_pack(v):
     fixed g (pack once, no inter-level relayouts — see unet.MomentumUNet)."""
     if isinstance(v, bool):
         return v
-    return int(v) if int(v) > 1 else False
+    if not v:                       # None / 0 / "" -> off
+        return False
+    try:
+        g = int(v)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"channel_pack must be a bool or an int group count, got {v!r}")
+    return g if g > 1 else False
 
 
 def _build_registration(cfg: Dict[str, Any]) -> ModelBundle:

@@ -538,12 +538,16 @@ def bilinear_warp_banded_multi(field: jnp.ndarray, disp: jnp.ndarray,
         jax.default_backend() == "tpu" and h * w <= _MAX_FULL_WARP_PIXELS)
     if not use_kernel or c > 4 or h * w > _MAX_FULL_WARP_PIXELS or not mc_ok:
         if jax.default_backend() == "tpu" and interpret is None:
-            # only the mc-specific demotions are worth a warning; frame-size
-            # routing already warns inside bilinear_warp_banded
             if c > 4:
                 _warn_fallback_once(
                     f"multi-channel warp (c={c}, {h}x{w}, r={radius})",
                     "per-channel kernels: channel count > 4")
+            elif h * w > _MAX_FULL_WARP_PIXELS:
+                _warn_fallback_once(
+                    f"multi-channel warp ({h}x{w}, r={radius})",
+                    "per-channel tiled kernels: frame exceeds the full-frame "
+                    "VMEM block (shared-tap kernel and img_const VJP skip "
+                    "lost)")
             elif not mc_ok:
                 _warn_fallback_once(
                     f"multi-channel warp ({h}x{w}, r={radius})",
