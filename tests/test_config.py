@@ -129,3 +129,23 @@ def test_load_config_roundtrip(tmp_path):
     p = tmp_path / "cfg.json"
     p.write_text(json.dumps({"info": {"experiment_name": "x"}}))
     assert load_config_from_json(p)["info"]["experiment_name"] == "x"
+
+
+def test_all_shipped_config_presets_build():
+    """Every configs/*.json parses and its networks section builds real
+    modules (a broken preset — e.g. the batch-20 production config — should
+    fail CI, not a user's first run)."""
+    import glob
+    import os
+    from cardiax.config.config import load_config_from_json
+    from cardiax.models import build_model
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.json")))
+    assert len(paths) >= 8
+    for path in paths:
+        cfg = load_config_from_json(path)
+        assert cfg.get("networks"), path
+        for name, mc in cfg["networks"].items():
+            bundle = build_model(mc)
+            assert bundle.module is not None, (path, name)
