@@ -143,3 +143,94 @@ class SliceBatcher:
             batch["pair_mask"] = pair_mask
             batch["sample_mask"] = slice_mask
             yield batch
+
+
+class DeviceBatcher:
+    """Device-resident dataset cache: upload the STACKED dataset once, gather
+    every batch on-device by (shuffled) indices.
+
+    Batch semantics are exactly ``Batcher``'s for the same seed — identical
+    permutation stream, final batch padded by repeating the last item,
+    ``sample_mask`` marking the pads — so the two are interchangeable
+    step-for-step (test-pinned). Items must be epoch-invariant, which every
+    cardiax dataset guarantees (reference-semantics augmentation expands the
+    data at LOAD time; ``__getitem__`` is deterministic).
+
+    Why: the per-step host->device batch transfer dominates real training
+    wall time whenever the interconnect is slow relative to the step (a
+    tunneled TPU: 16 ms compute vs ~hundreds of ms transfer — see STATUS.md
+    round 3). With the dataset in HBM, only a (batch_size,) int32 index
+    vector crosses per step. Gated by the ``training.device_data_cache``
+    config (auto: on when the stacked arrays fit the byte budget).
+    """
+
+    device_resident = True
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, mesh=None, rng=None):
+        import jax
+        import jax.numpy as jnp
+
+        n = len(dataset)
+        if n == 0:
+            raise ValueError("DeviceBatcher over an empty dataset")
+        host = collate([dataset[i] for i in range(n)])
+        self._meta = {k: v for k, v in host.items()
+                      if not isinstance(v, np.ndarray)}
+        arrays = {k: v for k, v in host.items() if isinstance(v, np.ndarray)}
+        self.n = n
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        # rng handover from an existing Batcher keeps its shuffle stream
+        self._rng = rng if rng is not None else np.random.default_rng(seed)
+        self.mesh = mesh
+
+        if mesh is not None:
+            from cardiax.parallel.mesh import (batch_sharding,
+                                               replicate_sharding)
+            rep = replicate_sharding(mesh)
+            self._data = {k: jax.device_put(v, rep) for k, v in arrays.items()}
+            # mirror shard_batch's rule: batch-shard only when the leading
+            # dim divides the mesh product, else replicate — the train step
+            # then sees exactly the layouts the host path produces
+            n_shard = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            div = self.batch_size % n_shard == 0
+
+            def sh(ndim):
+                return batch_sharding(mesh, ndim) if div                     else replicate_sharding(mesh)
+            out_sh = {k: sh(v.ndim) for k, v in arrays.items()}
+            out_sh["sample_mask"] = sh(1)
+            self._gather = jax.jit(self._gather_fn, out_shardings=out_sh)
+        else:
+            self._data = {k: jnp.asarray(v) for k, v in arrays.items()}
+            self._gather = jax.jit(self._gather_fn)
+
+    @staticmethod
+    def _gather_fn(data, idx, mask):
+        import jax.numpy as jnp
+        out = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        out["sample_mask"] = mask
+        return out
+
+    def nbytes(self) -> int:
+        return sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                   for v in self._data.values())
+
+    def __len__(self) -> int:
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n, bs = self.n, self.batch_size
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        for start in range(0, n, bs):
+            idx = order[start:start + bs]
+            n_real = len(idx)
+            if n_real < bs:                     # _pad_batch: repeat last item
+                idx = np.concatenate(
+                    [idx, np.repeat(idx[-1:], bs - n_real)])
+            mask = np.zeros((bs,), np.float32)
+            mask[:n_real] = 1.0
+            batch = dict(self._gather(self._data, idx.astype(np.int32), mask))
+            for k, v in self._meta.items():     # host-side metadata lists
+                batch[k] = [v[int(i)] for i in idx]
+            yield batch

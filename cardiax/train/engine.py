@@ -101,8 +101,10 @@ class Scheme:
 
     # ---- host side -------------------------------------------------------- #
     def example_inputs(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
-        """Arrays needed to init params (defaults to all array fields)."""
-        return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        """Arrays needed to init params (defaults to all array fields;
+        DeviceBatcher batches carry jax.Array leaves)."""
+        return {k: v for k, v in batch.items()
+                if isinstance(v, (np.ndarray, jax.Array))}
 
     def make_loader(self, dataset, batch_size: int, shuffle: bool, seed: int = 0):
         """Batch iterator for this scheme; the pairwise registration scheme
@@ -333,6 +335,41 @@ class TrainerEngine:
             print(f"kernel plans ({h}x{w}): " + "; ".join(plans))
 
     # ---- training loop ------------------------------------------------------ #
+    def _maybe_device_cache(self, loader, cfg: Dict[str, Any], tag: str):
+        """Swap a plain host Batcher for a DeviceBatcher (dataset resident in
+        device memory, batches gathered on-device by index) when
+        ``training.device_data_cache`` allows: "auto" (default) enables it
+        when the stacked dataset fits ``device_data_cache_budget_mb``
+        (default 512); true forces; false disables. Exact Batcher semantics
+        (the Batcher's own RNG is handed over, so the shuffle stream is
+        unchanged). Removes the per-step host->device batch transfer that
+        dominates wall time on weak-host/tunneled platforms (STATUS.md)."""
+        from cardiax.data.loader import Batcher, DeviceBatcher
+        mode = str(cfg.get("device_data_cache", "auto")).lower()
+        if mode in ("false", "0", "off", "none", "no"):
+            return loader
+        if not isinstance(loader, Batcher) or loader.drop_last \
+                or not loader.pad_final or len(loader.dataset) == 0:
+            return loader
+        item0 = loader.dataset[0]
+        est = len(loader.dataset) * sum(
+            v.nbytes for v in item0.values() if isinstance(v, np.ndarray))
+        budget = float(cfg.get("device_data_cache_budget_mb", 512)) * 2 ** 20
+        if mode != "true" and est > budget:
+            return loader
+        try:
+            cached = DeviceBatcher(loader.dataset, loader.batch_size,
+                                   shuffle=loader.shuffle, mesh=self.mesh,
+                                   rng=loader._rng)
+        except Exception as e:  # ragged items, OOM, ... -> host path
+            import warnings
+            warnings.warn(f"device_data_cache({tag}): falling back to the "
+                          f"host Batcher: {e}", RuntimeWarning)
+            return loader
+        print(f"device_data_cache: {tag} dataset resident on device "
+              f"({est / 2**20:.0f} MB, {len(loader.dataset)} items)")
+        return cached
+
     def train(self, models: Dict[str, Any], datasets: Dict[str, Any],
               trainer_config: Dict[str, Any] | None = None,
               full_config: Dict[str, Any] | None = None, device=None,
@@ -363,6 +400,9 @@ class TrainerEngine:
         train_loader = self.scheme.make_loader(train_ds, batch_size, shuffle=True, seed=seed)
         val_loader = self.scheme.make_loader(val_ds, batch_size, shuffle=False) \
             if val_ds is not None and len(val_ds) > 0 else None
+        train_loader = self._maybe_device_cache(train_loader, cfg, "train")
+        if val_loader is not None:
+            val_loader = self._maybe_device_cache(val_loader, cfg, "val")
 
         if tracker is None:
             tracker = MetricsTracker(
@@ -421,6 +461,12 @@ class TrainerEngine:
             # ---- train ----
             accum: Dict[str, float] = {}
             n_batches = 0
+            # Per-step metric values stay ON DEVICE until the epoch ends:
+            # float() is a blocking device sync (and a tunnel round trip per
+            # value on remote platforms) — pulling every metric every step
+            # serializes the loop against the device and forfeits JAX's async
+            # dispatch. Deferring costs only a list of tiny DeviceArrays.
+            step_values: List[Dict[str, Any]] = []
             for batch in train_loader:
                 if profile_dir and global_step == 1 and not profiling:
                     jax.profiler.start_trace(profile_dir)   # skip compile step
@@ -429,6 +475,7 @@ class TrainerEngine:
                 arrays = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
                 self.params, self.opt_states, values = self._train_step(
                     self.params, self.opt_states, arrays)
+                step_values.append(values)
                 n_batches += 1
                 global_step += 1
                 if profiling and global_step > profile_steps:
@@ -437,6 +484,7 @@ class TrainerEngine:
                     profiling = False
                     from cardiax.io.profiling import print_trace_summary
                     print_trace_summary(profile_dir)
+            for values in step_values:
                 for k, v in values.items():
                     if k == "max_abs_displacement":   # epoch max, not mean
                         fv = float(v)
@@ -455,11 +503,14 @@ class TrainerEngine:
                                            or epoch == epochs - 1):
                 vaccum: Dict[str, float] = {}
                 nv = 0
+                val_values: List[Dict[str, Any]] = []
                 for batch in val_loader:
                     arrays = shard_batch(batch, self.mesh)
                     arrays = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
                     values, _ = self._eval_step(self.params, arrays)
+                    val_values.append(values)
                     nv += 1
+                for values in val_values:            # deferred sync (see train)
                     for k, v in values.items():
                         vaccum[k] = vaccum.get(k, 0.0) + float(v)
                 for k, v in vaccum.items():

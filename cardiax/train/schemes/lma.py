@@ -40,7 +40,7 @@ class LMAScheme(Scheme):
 
     def init_params(self, modules, rng, batch):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
+                  if isinstance(v, (np.ndarray, jax.Array))}
         x = self._input(arrays)
         # jit the init: eager init dispatches each op separately (minutes over
         # a tunneled TPU); jitted it is one compile + one execution
