@@ -100,12 +100,6 @@ class Scheme:
         self.full_config = full_config or {}
 
     # ---- host side -------------------------------------------------------- #
-    def example_inputs(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
-        """Arrays needed to init params (defaults to all array fields;
-        DeviceBatcher batches carry jax.Array leaves)."""
-        return {k: v for k, v in batch.items()
-                if isinstance(v, (np.ndarray, jax.Array))}
-
     def make_loader(self, dataset, batch_size: int, shuffle: bool, seed: int = 0):
         """Batch iterator for this scheme; the pairwise registration scheme
         overrides with the slice-grouping loader (SliceBatcher)."""
@@ -344,18 +338,27 @@ class TrainerEngine:
         (the Batcher's own RNG is handed over, so the shuffle stream is
         unchanged). Removes the per-step host->device batch transfer that
         dominates wall time on weak-host/tunneled platforms (STATUS.md)."""
-        from cardiax.data.loader import Batcher, DeviceBatcher
-        mode = str(cfg.get("device_data_cache", "auto")).lower()
+        from cardiax.data.loader import DeviceBatcher
+        raw = cfg.get("device_data_cache", "auto")
+        mode = "auto" if raw is None else str(raw).lower()
         if mode in ("false", "0", "off", "none", "no"):
             return loader
+        force = mode in ("true", "1", "yes", "on")
         if not isinstance(loader, Batcher) or loader.drop_last \
                 or not loader.pad_final or len(loader.dataset) == 0:
+            if force:
+                import warnings
+                warnings.warn(
+                    f"device_data_cache({tag}): requested but this loader "
+                    f"({type(loader).__name__}) is not cacheable — only the "
+                    f"plain Batcher path is; using the host loader",
+                    RuntimeWarning)
             return loader
         item0 = loader.dataset[0]
         est = len(loader.dataset) * sum(
             v.nbytes for v in item0.values() if isinstance(v, np.ndarray))
         budget = float(cfg.get("device_data_cache_budget_mb", 512)) * 2 ** 20
-        if mode != "true" and est > budget:
+        if not force and est > budget:
             return loader
         try:
             cached = DeviceBatcher(loader.dataset, loader.batch_size,
@@ -469,6 +472,13 @@ class TrainerEngine:
             step_values: List[Dict[str, Any]] = []
             for batch in train_loader:
                 if profile_dir and global_step == 1 and not profiling:
+                    # drain the compile step BEFORE opening the trace window —
+                    # with deferred metric sync nothing else blocks here, and
+                    # step-0 device execution would pollute the trace (when
+                    # step 0 fell in a previous 1-batch epoch, its epoch-end
+                    # device_get already synced)
+                    if step_values:
+                        float(step_values[-1]["total_loss"])
                     jax.profiler.start_trace(profile_dir)   # skip compile step
                     profiling = True
                 arrays = shard_batch(batch, self.mesh)
@@ -484,7 +494,9 @@ class TrainerEngine:
                     profiling = False
                     from cardiax.io.profiling import print_trace_summary
                     print_trace_summary(profile_dir)
-            for values in step_values:
+            # ONE bulk transfer for the whole epoch's metric scalars
+            # (per-value float() would still pay a tunnel round trip each)
+            for values in jax.device_get(step_values):
                 for k, v in values.items():
                     if k == "max_abs_displacement":   # epoch max, not mean
                         fv = float(v)
@@ -510,7 +522,7 @@ class TrainerEngine:
                     values, _ = self._eval_step(self.params, arrays)
                     val_values.append(values)
                     nv += 1
-                for values in val_values:            # deferred sync (see train)
+                for values in jax.device_get(val_values):  # bulk deferred sync
                     for k, v in values.items():
                         vaccum[k] = vaccum.get(k, 0.0) + float(v)
                 for k, v in vaccum.items():
