@@ -11,12 +11,26 @@ Prints ONE JSON line:
   (same shapes/semantics) on this container's torch device (CPU here; the
   reference targeted one CUDA GPU; see bench_baseline_torch.py). The torch
   number is cached in bench_baseline.json after first measurement.
+
+Hang-proofing (round-3 driver bench failed AND the judge's rerun hung 13+ min
+at backend init on a dead axon tunnel): the measurement runs in a CHILD
+process. The parent never imports jax, takes the cooperative TPU lock
+(cardiax/utils/tpulock.py — the tunnel does not queue a second client), and
+enforces a hard deadline on the child's backend init (it must report
+``backend ok`` on stderr within --backend-timeout seconds) plus an overall
+deadline; a hung child is killed by exact PID and retried. After the final
+retry the parent prints one parseable JSON error line, e.g.
+    {"metric": ..., "error": "...", "stage": "backend-init"}
+and exits 1 — never a bare hang, never a raw traceback as the only output.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -33,6 +47,14 @@ WARMUP = 5
 STEPS = 30
 BASELINE_CACHE = REPO / "bench_baseline.json"
 
+METRIC = "joint_reg_strain_LMA_train_slices_per_sec_per_chip"
+_CHILD_ENV = "CARDIAX_BENCH_CHILD"
+_BACKEND_OK = "[bench-child] backend ok"
+
+
+# --------------------------------------------------------------------------
+# child: the actual measurement (runs with jax / the TPU client)
+# --------------------------------------------------------------------------
 
 def _measure_cardiax(batch: int = BATCH) -> float:
     import jax
@@ -89,6 +111,99 @@ def _baseline_slices_per_sec() -> dict:
     return out
 
 
+def _child_main(batches) -> int:
+    # backend probe first, so the parent's watchdog distinguishes a dead
+    # tunnel (no marker within the deadline) from a slow compile
+    import jax
+    devs = jax.devices()
+    print(f"{_BACKEND_OK}: {len(devs)}x {devs[0].platform}",
+          file=sys.stderr, flush=True)
+
+    try:
+        base = _baseline_slices_per_sec()
+    except Exception as e:  # baseline failure must not kill the bench
+        base = {"error": str(e)}
+
+    for b in batches:
+        value = _measure_cardiax(batch=b)
+        vs = value / base["slices_per_sec"] if base.get("slices_per_sec") else None
+        line = {
+            "metric": METRIC,
+            "value": round(value, 4),
+            "unit": "slices/sec/chip",
+            "vs_baseline": round(vs, 4) if vs is not None else None,
+        }
+        if b != BATCH:
+            line["batch"] = b   # only sweep lines carry the extra key; the
+            # default line stays exactly the driver's one-JSON-line contract
+        print(json.dumps(line), flush=True)
+    return 0
+
+
+# --------------------------------------------------------------------------
+# parent: lock + watchdog orchestration (never imports jax)
+# --------------------------------------------------------------------------
+
+def _fail(stage: str, error: str) -> int:
+    print(json.dumps({"metric": METRIC, "value": None,
+                      "unit": "slices/sec/chip", "vs_baseline": None,
+                      "error": error[:500], "stage": stage}))
+    return 1
+
+
+def _run_child_once(batches, backend_timeout: float, total_timeout: float):
+    """Spawn one measurement child. Returns (stdout_lines, stage, error);
+    stage is None on success."""
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "1"
+    cmd = [sys.executable, str(Path(__file__).resolve()),
+           "--batch", *[str(b) for b in batches]]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, env=env, text=True)
+
+    backend_ok = threading.Event()
+
+    def _pump_stderr():
+        for line in proc.stderr:
+            if _BACKEND_OK in line:
+                backend_ok.set()
+            sys.stderr.write(line)
+            sys.stderr.flush()
+
+    err_thread = threading.Thread(target=_pump_stderr, daemon=True)
+    err_thread.start()
+
+    # phase 1: backend init must report within backend_timeout
+    deadline = time.monotonic() + backend_timeout
+    while not backend_ok.is_set():
+        if proc.poll() is not None:
+            break  # died during init — fall through to collect output
+        if time.monotonic() >= deadline:
+            proc.kill()
+            proc.wait()
+            return [], "backend-init", (
+                f"no backend after {backend_timeout:.0f}s (axon tunnel "
+                f"unreachable?); child killed")
+        time.sleep(0.5)
+
+    # phase 2: the measurement itself, bounded by total_timeout
+    try:
+        remaining = max(10.0, total_timeout - backend_timeout)
+        stdout, _ = proc.communicate(timeout=remaining)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        return [], "measure", f"measurement exceeded {total_timeout:.0f}s; child killed"
+    err_thread.join(timeout=5)
+    lines = [ln for ln in stdout.splitlines() if ln.strip()]
+    if proc.returncode != 0:
+        stage = "measure" if backend_ok.is_set() else "backend-init"
+        return lines, stage, f"child exited rc={proc.returncode}"
+    if not lines:
+        return lines, "measure", "child produced no output"
+    return lines, None, None
+
+
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser(description=__doc__)
@@ -98,28 +213,39 @@ def main(argv=None):
                         "values print one extra JSON line per batch — the "
                         "batch-scaling sweep (production operating point is "
                         "~batch 20/chip; VERDICT r2 #9).")
+    p.add_argument("--backend-timeout", type=float, default=180.0,
+                   help="seconds the child gets to report a live backend")
+    p.add_argument("--total-timeout", type=float, default=1500.0,
+                   help="overall per-attempt deadline (compile + measure)")
+    p.add_argument("--retries", type=int, default=3,
+                   help="attempts before emitting the structured error line")
+    p.add_argument("--lock-timeout", type=float, default=900.0,
+                   help="seconds to wait for the cooperative TPU lock")
     args = p.parse_args(argv)
     batches = args.batch or [BATCH]
 
-    try:
-        base = _baseline_slices_per_sec()
-    except Exception as e:  # baseline failure must not kill the bench
-        base = {"error": str(e)}
+    if os.environ.get(_CHILD_ENV):
+        return _child_main(batches)
 
-    for i, b in enumerate(batches):
-        value = _measure_cardiax(batch=b)
-        vs = value / base["slices_per_sec"] if base.get("slices_per_sec") else None
-        line = {
-            "metric": "joint_reg_strain_LMA_train_slices_per_sec_per_chip",
-            "value": round(value, 4),
-            "unit": "slices/sec/chip",
-            "vs_baseline": round(vs, 4) if vs is not None else None,
-        }
-        if b != BATCH:
-            line["batch"] = b   # only sweep lines carry the extra key; the
-            # default line stays exactly the driver's one-JSON-line contract
-        print(json.dumps(line))
+    from cardiax.utils.tpulock import tpu_lock  # stdlib-only import
+
+    try:
+        with tpu_lock("bench", timeout=args.lock_timeout):
+            last_err = ("backend-init", "no attempts ran")
+            for attempt in range(1, args.retries + 1):
+                lines, stage, error = _run_child_once(
+                    batches, args.backend_timeout, args.total_timeout)
+                if stage is None:
+                    for ln in lines:
+                        print(ln)
+                    return 0
+                last_err = (stage, error)
+                print(f"[bench] attempt {attempt}/{args.retries} failed at "
+                      f"{stage}: {error}", file=sys.stderr, flush=True)
+            return _fail(*last_err)
+    except TimeoutError as e:
+        return _fail("tpu-lock", str(e))
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -21,6 +21,20 @@ from typing import Any, Dict, Iterator, Sequence
 import numpy as np
 
 
+def epoch_permutation(seed: int, epoch: int, n: int) -> np.ndarray:
+    """The shuffle order of epoch ``epoch`` for a loader seeded ``seed``.
+
+    Epoch-INDEXED, not sequential: the permutation is a pure function of
+    (seed, epoch), so a run resumed at epoch k replays exactly the
+    uninterrupted run's epoch-k..N shuffle stream (torch's
+    ``DistributedSampler.set_epoch`` idea). A sequential RNG would restart
+    from the epoch-0 stream on resume, making resumed-equals-uninterrupted
+    impossible to certify (VERDICT r3 #3)."""
+    return np.random.default_rng(
+        np.random.SeedSequence([int(seed) & 0xFFFFFFFF, int(epoch)])
+    ).permutation(n)
+
+
 def collate(items: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack array fields; keep non-arrays as lists (reference
     slice_dataloader.py:18-45 collate semantics, minus torch)."""
@@ -61,8 +75,12 @@ class Batcher:
         self.shuffle = shuffle
         self.pad_final = pad_final
         self.drop_last = drop_last
-        self._rng = np.random.default_rng(seed)
+        self.seed = int(seed)
         self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle stream to a given epoch (resume support)."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -74,7 +92,7 @@ class Batcher:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            order = self._rng.permutation(n)
+            order = epoch_permutation(self.seed, self._epoch, n)
         self._epoch += 1
         bs = self.batch_size
         for start in range(0, n, bs):
@@ -106,7 +124,11 @@ class SliceBatcher:
         self.slices_per_batch = int(slices_per_batch)
         self.max_pairs = int(max_pairs_per_slice)
         self.shuffle = shuffle
-        self._rng = np.random.default_rng(seed)
+        self.seed = int(seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         ns = self.dataset.get_n_slices()
@@ -114,7 +136,9 @@ class SliceBatcher:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         ns = self.dataset.get_n_slices()
-        order = self._rng.permutation(ns) if self.shuffle else np.arange(ns)
+        order = epoch_permutation(self.seed, self._epoch, ns) \
+            if self.shuffle else np.arange(ns)
+        self._epoch += 1
         for start in range(0, ns, self.slices_per_batch):
             slice_ids = order[start:start + self.slices_per_batch]
             n_real_slices = len(slice_ids)
@@ -167,7 +191,7 @@ class DeviceBatcher:
     device_resident = True
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, mesh=None, rng=None):
+                 seed: int = 0, mesh=None, epoch: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -181,8 +205,10 @@ class DeviceBatcher:
         self.n = n
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
-        # rng handover from an existing Batcher keeps its shuffle stream
-        self._rng = rng if rng is not None else np.random.default_rng(seed)
+        # same (seed, epoch)-indexed stream as Batcher: hand over a host
+        # loader's seed + epoch counter and the streams stay aligned
+        self.seed = int(seed)
+        self._epoch = int(epoch)
         self.mesh = mesh
 
         if mesh is not None:
@@ -219,9 +245,14 @@ class DeviceBatcher:
     def __len__(self) -> int:
         return (self.n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
     def __iter__(self):
         n, bs = self.n, self.batch_size
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        order = epoch_permutation(self.seed, self._epoch, n) \
+            if self.shuffle else np.arange(n)
+        self._epoch += 1
         for start in range(0, n, bs):
             idx = order[start:start + bs]
             n_real = len(idx)

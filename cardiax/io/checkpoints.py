@@ -26,12 +26,17 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(str(self.directory), options=options)
 
     def save(self, epoch: int, params: Any, opt_states: Any,
-             extra: Optional[Dict[str, Any]] = None, force: bool = False) -> bool:
+             extra: Optional[Dict[str, Any]] = None, force: bool = False,
+             best_params: Any = None) -> bool:
         if not force and epoch % self.save_interval != 0:
             return False
         import orbax.checkpoint as ocp
         state = {"params": params, "opt_states": opt_states,
                  "extra": extra or {}}
+        if best_params is not None:
+            # full early-stop state: a resumed run must keep tracking the
+            # SAME best snapshot the uninterrupted run would
+            state["best_params"] = best_params
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         return True
 
@@ -45,7 +50,17 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
         if template is not None:
-            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+            try:
+                return self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(template))
+            except (ValueError, KeyError) as e:
+                raise ValueError(
+                    f"checkpoint at {self.directory} (epoch {step}) does not "
+                    f"match the current model's param/opt-state tree. If it "
+                    f"was written by round<=2 code: the UNet/strain-head tree "
+                    f"layout changed in round 3 (packed-conv refactor) and "
+                    f"old checkpoints cannot be restored. Original error: {e}"
+                ) from e
         return self._mgr.restore(step)
 
     def wait(self) -> None:

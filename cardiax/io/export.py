@@ -18,6 +18,22 @@ import numpy as np
 from flax import serialization
 
 
+KNOWN_SAVE_METHODS = ("state_dict", "jit", "onnx", "model_zip_state_dict",
+                      "model_zip_state_dict_pt")
+
+
+def validate_save_method(saving_conf: Dict[str, Any] | None) -> None:
+    """Fail FAST on an unknown ``saving.save_model_method``/``method`` string:
+    without this, a typo is only discovered when save_model raises at
+    end-of-run — after the full training has completed (ADVICE r3)."""
+    method = (saving_conf or {}).get("save_model_method") \
+        or (saving_conf or {}).get("method")
+    if method and method not in KNOWN_SAVE_METHODS:
+        raise ValueError(
+            f"saving.save_model_method={method!r} is not one of "
+            f"{KNOWN_SAVE_METHODS} — aborting before training starts")
+
+
 def save_predictions(preds: List[Dict[str, Any]], path: str | Path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -69,7 +85,19 @@ def save_trained_models(saving_dir: str | Path, models: Dict[str, Any],
 
 def load_model_params(path: str | Path, template: Any) -> Any:
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        raw = f.read()
+    try:
+        return serialization.from_bytes(template, raw)
+    except (ValueError, KeyError) as e:
+        # a raw tree-mismatch error here is indecipherable; name the one known
+        # breaking change so old artifacts fail loudly and explainably
+        raise ValueError(
+            f"params in {path} do not match the current model's param tree. "
+            f"If this artifact was written by round<=2 code: the UNet/strain-"
+            f"head tree layout changed in round 3 (packed-conv refactor — "
+            f"Conv_0/GroupNorm_0/Dense_0 -> block/conv/scale/mix_kernel) and "
+            f"old msgpack exports cannot be restored. Original error: {e}"
+        ) from e
 
 
 def save_model(bundle: Any, path_stem: str | Path, method: str = "state_dict",

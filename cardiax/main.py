@@ -46,10 +46,14 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     from cardiax.data import load_data
     from cardiax.data.datasets import build_datasets
     from cardiax.data.split import split_data
-    from cardiax.io.export import save_predictions, save_trained_models
+    from cardiax.io.export import (save_predictions, save_trained_models,
+                                   validate_save_method)
     from cardiax.models import build_model
     from cardiax.parallel.mesh import get_mesh
     from cardiax.train import build_trainer
+
+    # 0. fail fast on config typos whose natural failure point is END of run
+    validate_save_method(config.get("saving"))
 
     # 1. data
     all_data = load_data(config["data"], config)

@@ -344,6 +344,11 @@ class TrainerEngine:
         if mode in ("false", "0", "off", "none", "no"):
             return loader
         force = mode in ("true", "1", "yes", "on")
+        if not force and mode != "auto":
+            # a typo ('ture', 'flase', ...) must not silently mean "auto"
+            raise ValueError(
+                f"training.device_data_cache={raw!r} is not a recognized "
+                f"value; use true/false/auto")
         if not isinstance(loader, Batcher) or loader.drop_last \
                 or not loader.pad_final or len(loader.dataset) == 0:
             if force:
@@ -363,7 +368,7 @@ class TrainerEngine:
         try:
             cached = DeviceBatcher(loader.dataset, loader.batch_size,
                                    shuffle=loader.shuffle, mesh=self.mesh,
-                                   rng=loader._rng)
+                                   seed=loader.seed, epoch=loader._epoch)
         except Exception as e:  # ragged items, OOM, ... -> host path
             import warnings
             warnings.warn(f"device_data_cache({tag}): falling back to the "
@@ -418,6 +423,12 @@ class TrainerEngine:
 
         # ---- checkpointing / resume (SURVEY.md 5.4: real resume, unlike the
         # reference's save-only persistence) ----
+        best_val = float("inf")
+        # params are DONATED to the compiled train step, so best-params
+        # snapshots must be real copies, not aliases of soon-invalidated buffers
+        best_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        best_epoch = -1
+        epochs_without_improvement = 0
         ckpt = None
         start_epoch = 0
         saving = self.full_config.get("saving", {})
@@ -428,20 +439,27 @@ class TrainerEngine:
                 max_to_keep=int(saving.get("save_model_num", 3)),
                 save_interval_epochs=int(saving.get("checkpoint_interval", 1)))
             if cfg.get("resume", False) and ckpt.latest_epoch() is not None:
+                # FULL training-state resume: params + opt state + best-params
+                # + early-stop counters, so a resumed run is step-for-step the
+                # uninterrupted run (epoch-indexed shuffle makes the data
+                # stream match too; certified by tools/stability_run.py)
                 template = {"params": self.params, "opt_states": self.opt_states,
-                            "extra": {"epoch": 0, "best_val": 0.0}}
+                            "best_params": best_params,
+                            "extra": {"epoch": 0, "best_val": 0.0,
+                                      "best_epoch": 0,
+                                      "epochs_without_improvement": 0}}
                 state = ckpt.restore(template=template)
                 self.params = state["params"]
                 self.opt_states = state["opt_states"]
-                start_epoch = int(state["extra"]["epoch"]) + 1
+                best_params = state["best_params"]
+                extra = state["extra"]
+                best_val = float(extra["best_val"])
+                best_epoch = int(extra["best_epoch"])
+                epochs_without_improvement = int(
+                    extra["epochs_without_improvement"])
+                start_epoch = int(extra["epoch"]) + 1
 
-        best_val = float("inf")
-        # params are DONATED to the compiled train step, so best-params
-        # snapshots must be real copies, not aliases of soon-invalidated buffers
-        best_params = jax.tree_util.tree_map(jnp.copy, self.params)
-        best_epoch = -1
         history: List[Dict[str, float]] = []
-        epochs_without_improvement = 0
         prefix = self.metric_prefix
         best_epoch_metrics: Dict[str, float] = {}
         t_start = time.perf_counter()
@@ -459,8 +477,17 @@ class TrainerEngine:
         profile_steps = int(self.full_config.get("others", {}).get("profile_steps", 5))
         profiling = False
         global_step = 0
+        # Deferred metric sync (below) would otherwise postpone NaN / band
+        # detection to the epoch end — on long epochs that wastes up to an
+        # epoch of dispatched compute. Sync ONE scalar every N steps to bound
+        # the detection latency while keeping async dispatch (0 disables).
+        spot_every = int(cfg.get("metric_spot_check_steps", 50))
 
         for epoch in range(start_epoch, epochs):
+            # epoch-indexed shuffle: a resumed run replays the uninterrupted
+            # run's epoch-k..N data stream exactly (loader.epoch_permutation)
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
             # ---- train ----
             accum: Dict[str, float] = {}
             n_batches = 0
@@ -488,6 +515,15 @@ class TrainerEngine:
                 step_values.append(values)
                 n_batches += 1
                 global_step += 1
+                if spot_every and global_step % spot_every == 0:
+                    fv = float(values["total_loss"])  # bounded-latency sync
+                    if not np.isfinite(fv):
+                        raise FloatingPointError(
+                            f"non-finite total_loss {fv} at epoch {epoch} "
+                            f"step {global_step} (spot check)")
+                    if "max_abs_displacement" in values:
+                        self._check_displacement_band(
+                            float(values["max_abs_displacement"]))
                 if profiling and global_step > profile_steps:
                     float(values["total_loss"])  # real sync (axon: block_until_ready is a no-op)
                     jax.profiler.stop_trace()
@@ -556,10 +592,6 @@ class TrainerEngine:
                             f"{type(e).__name__}: {e} — suppressing further "
                             f"visualization errors this run")
 
-            if ckpt is not None:
-                ckpt.save(epoch, self.params, self.opt_states,
-                          extra={"epoch": epoch, "best_val": best_val})
-
             # ---- early stopping on total val loss (reference :238-263), or
             # on the configured early_stop_metric when present this epoch ----
             if early_stop_metric is not None:
@@ -570,18 +602,29 @@ class TrainerEngine:
                 monitor = epoch_total_val   # None on valid_period-skipped epochs
             else:
                 monitor = epoch_metrics.get(f"{prefix}train/total_loss", float("inf"))
-            if monitor is None:
-                continue   # no early-stop signal this epoch (skipped val)
-            if monitor < best_val:
-                best_val = monitor
-                best_params = jax.tree_util.tree_map(jnp.copy, self.params)
-                best_epoch = epoch
-                best_epoch_metrics = dict(epoch_metrics)
-                epochs_without_improvement = 0
-            else:
-                epochs_without_improvement += 1
-                if epochs_without_improvement > tolerance:
-                    break
+            stop = False
+            if monitor is not None:     # None: no early-stop signal (skipped val)
+                if monitor < best_val:
+                    best_val = monitor
+                    best_params = jax.tree_util.tree_map(jnp.copy, self.params)
+                    best_epoch = epoch
+                    best_epoch_metrics = dict(epoch_metrics)
+                    epochs_without_improvement = 0
+                else:
+                    epochs_without_improvement += 1
+                    stop = epochs_without_improvement > tolerance
+
+            # checkpoint AFTER the early-stop update, so the saved counters
+            # reflect this epoch's decision and resume is state-exact
+            if ckpt is not None:
+                ckpt.save(epoch, self.params, self.opt_states,
+                          best_params=best_params,
+                          extra={"epoch": epoch, "best_val": best_val,
+                                 "best_epoch": best_epoch,
+                                 "epochs_without_improvement":
+                                     epochs_without_improvement})
+            if stop:
+                break
 
         if profiling:
             jax.profiler.stop_trace()

@@ -92,3 +92,63 @@ def test_engine_resume_continues_from_checkpoint(tmp_path):
     first_resumed = steps[steps.index(1) + 1]
     assert first_resumed >= 1, steps   # no restart from 0
     assert steps.count(0) == 1, f"resumed run retrained epoch 0: {steps}"
+
+
+def test_resume_equals_uninterrupted(tmp_path):
+    """Interrupt-at-k + resume reproduces the uninterrupted run's epoch-k..N
+    metrics EXACTLY: epoch-indexed shuffle + full early-stop state in the
+    checkpoint (VERDICT r3 #3's resumed-equals-uninterrupted spot check,
+    here as a permanent CPU test)."""
+    import json
+
+    from cardiax.data.datasets import build_datasets
+    from cardiax.data.synthetic import make_dataset
+    from cardiax.models import build_model
+    from cardiax.train import build_trainer
+
+    data = make_dataset(n_subjects=3, slices_per_subject=2, h=16, w=16,
+                        n_frames=8, seed=9)
+    for i, d in enumerate(data):
+        d.update(slice_full_id=f"s{i}", slice_idx=i, augmented=False)
+    datasets = build_datasets(
+        {"train": {"type": "LMADataset", "data_split": ["train"],
+                   "n_frames_to_use_for_regression": 8}},
+        {"train": {"data": data}})
+
+    def cfg(epochs, resume, out):
+        return {
+            "networks": {"LMA": {"type": "NetStrainMat2LMA", "num_conv_layers": 1,
+                                 "inner_conv_channel_num": 4, "n_frames": 8}},
+            "training": {"scheme": "LMA", "LMA_modality": "strain_mat", "seed": 3,
+                         "batch_size": 4, "epochs": epochs, "resume": resume,
+                         "optimizers": {"LMA": {"type": "Adam",
+                                                "learning_rate": 1e-3}}},
+            "losses": {"TOS_regression": {"criterion": "MSELoss",
+                                          "prediction": "TOS", "target": "TOS",
+                                          "weight": 1.0}},
+            "saving": {"saving_dir": str(out), "save_checkpoint": True},
+            "others": {},
+        }
+
+    def train(epochs, resume, out):
+        c = cfg(epochs, resume, out)
+        networks = {n: build_model(mc) for n, mc in c["networks"].items()}
+        t = build_trainer(c["training"], None, c)
+        t.train(models=networks, datasets=datasets,
+                trainer_config=c["training"], full_config=c)
+
+    train(5, False, tmp_path / "full")          # uninterrupted 0..4
+    train(2, False, tmp_path / "resumed")       # "interrupted" after epoch 1
+    train(5, True, tmp_path / "resumed")        # resume 2..4
+
+    def epochs_of(out):
+        rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
+        return {r["step"]: r for r in rows
+                if any(k.startswith("train/") for k in r)}
+
+    full, resumed = epochs_of(tmp_path / "full"), epochs_of(tmp_path / "resumed")
+    assert set(full) == set(resumed) == {0, 1, 2, 3, 4}
+    for e in (2, 3, 4):   # the resumed epochs must match bit-for-bit
+        for k, v in full[e].items():
+            if isinstance(v, float):
+                assert v == resumed[e][k], (e, k, v, resumed[e][k])

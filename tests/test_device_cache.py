@@ -43,15 +43,34 @@ def test_device_batcher_matches_batcher(shuffle):
             assert db["slice_full_id"] == hb["slice_full_id"]
 
 
-def test_device_batcher_rng_handover_continues_stream():
+def test_device_batcher_epoch_handover_continues_stream():
     ds = _ToyDataset(n=10)
     host = Batcher(ds, 4, shuffle=True, seed=7)
-    _ = list(host)                       # consume epoch 1 on the host
+    _ = list(host)                       # consume epoch 0 on the host
     ref = Batcher(ds, 4, shuffle=True, seed=7)
     _ = list(ref)
-    dev = DeviceBatcher(ds, 4, shuffle=True, rng=host._rng)
-    for hb, db in zip(ref, dev):         # epoch 2 must match
+    # handover = same seed + the host's epoch counter (engine's swap rule)
+    dev = DeviceBatcher(ds, 4, shuffle=True, seed=host.seed,
+                        epoch=host._epoch)
+    for hb, db in zip(ref, dev):         # epoch 1 must match
         np.testing.assert_array_equal(np.asarray(db["x"]), hb["x"])
+
+
+def test_epoch_indexed_shuffle_resumes_mid_stream():
+    """set_epoch(k) replays exactly the uninterrupted run's epoch-k order —
+    the property exact resume needs (VERDICT r3 #3)."""
+    ds = _ToyDataset(n=11)
+    full = Batcher(ds, 4, shuffle=True, seed=5)
+    epochs = [list(full) for _ in range(4)]
+    resumed = Batcher(ds, 4, shuffle=True, seed=5)
+    resumed.set_epoch(2)
+    for want, got in zip(epochs[2], list(resumed)):
+        np.testing.assert_array_equal(got["x"], want["x"])
+    for want, got in zip(epochs[3], list(resumed)):  # stream continues
+        np.testing.assert_array_equal(got["x"], want["x"])
+    # different epochs shuffle differently (it's still a real shuffle)
+    assert not all(np.array_equal(a["x"], b["x"])
+                   for a, b in zip(epochs[0], epochs[1]))
 
 
 def test_device_batcher_sharded_on_mesh():

@@ -1,0 +1,112 @@
+"""5-fold cross-validation in the reference's exact protocol (VERDICT r3 #5).
+
+The reference's only preserved quantitative result is a 5-fold CV run
+(/root/reference/modules/loss/__init__.py:62-120: val ~15.14 / test ~12.75
+sector_error averages). Its clinical npy data is private, so synthetic is the
+data ceiling — but the PROTOCOL is mirrored exactly here: 5 folds over the
+96-slice synthetic set (48 subjects x 2 slices), >=150 epochs/fold, fold i as
+test / fold (i+1)%5 as val / rest train (cardiax.kfold == the reference's
+SplitManager convention), emitting the reference's preserved metric-key set
+(fold{i}/final-{val,test}/sector_error + average/...). Fills BASELINE.md's
+parity table with a like-for-like row.
+
+Usage (real TPU, ~1-3 h depending on cache wins):
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/cv5_run.py \
+        --epochs 150 --out exp_results/cv5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from qualify_stack import N_SUBJECTS, build_config  # noqa: E402
+
+# 48 subjects -> 5 folds of 10/10/10/9/9 subjects (start-anchored regexes
+# need the .* wrapper: ids are "SET00-CT00"-style)
+FOLD_SUBJECTS = [
+    [f"CT{i}" for i in range(0, 10)],
+    [f"CT{i}" for i in range(10, 20)],
+    [f"CT{i}" for i in range(20, 30)],
+    [f"CT{i}" for i in range(30, 39)],
+    [f"CT{i}" for i in range(39, 48)],
+]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--out", default=str(REPO / "exp_results" / "cv5"))
+    ap.add_argument("--h", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=2434)
+    args = ap.parse_args(argv)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    data_path = out / "slices.npy"
+    if not data_path.exists():
+        from cardiax.data.synthetic import make_dataset, save_npy
+        save_npy(str(data_path), make_dataset(
+            n_subjects=N_SUBJECTS, slices_per_subject=2, h=args.h, w=args.h,
+            n_frames=args.frames, seed=99))
+
+    # regexes must match subject ids anywhere (re.match is start-anchored);
+    # \b guards CT4 from also matching CT40..47
+    folds = [[rf".*{s}(?!\d).*" for s in group] for group in FOLD_SUBJECTS]
+    (out / "folds.json").write_text(json.dumps(folds, indent=1))
+
+    cfg = build_config(str(data_path), out, "on", seed=args.seed,
+                       epochs=args.epochs)
+    # reference protocol: early stopping tolerance 50 within the epoch budget
+    # (reference configs/config.json:127-131 trains 1000 epochs w/ tol 50;
+    # 150 epochs/fold is the VERDICT-prescribed budget at synthetic scale)
+    cfg["training"]["epochs_without_improvement_tolerance"] = 50
+    cfg["training"]["test"] = True
+    cfg["saving"]["saving_dir"] = str(out / "run")
+    (out / "config.json").write_text(json.dumps(cfg, indent=1))
+
+    from cardiax.kfold import run_kfold
+    from cardiax.utils.tpulock import tpu_lock
+
+    t0 = time.perf_counter()
+    with tpu_lock("cv5", timeout=600):
+        results = run_kfold(cfg, folds)
+    wall = time.perf_counter() - t0
+    results["wall_seconds"] = round(wall, 1)
+    results["protocol"] = {"folds": 5, "epochs_per_fold": args.epochs,
+                           "early_stop_tolerance": 50,
+                           "slices": N_SUBJECTS * 2, "h": args.h,
+                           "frames": args.frames}
+    (out / "results.json").write_text(json.dumps(results, indent=1,
+                                                 default=float))
+
+    # reference-shaped table
+    keys = ["final-val/sector_error", "final-test/sector_error",
+            "final-val/LMA_auc", "final-test/LMA_auc",
+            "final-test/LMA_f1_best", "final-test/LMA_accuracy"]
+    lines = ["# 5-fold CV, reference protocol (synthetic 96-slice set)",
+             f"{args.epochs} epochs/fold, early-stop tol 50, wall {wall:.0f}s",
+             "", "| metric | " + " | ".join(f"fold{i}" for i in range(5))
+             + " | average |", "|" + "---|" * 7]
+    for key in keys:
+        vals = []
+        for fr in results["folds"]:
+            v = fr["performance"].get(f"fold{fr['fold']}/{key}")
+            vals.append(f"{v:.4g}" if v is not None else "-")
+        avg = results["average"].get(f"average/{key}")
+        avg_cell = f"{avg:.4g}" if avg is not None else "-"
+        lines.append(f"| {key} | " + " | ".join(vals) + f" | {avg_cell} |")
+    (out / "summary.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
