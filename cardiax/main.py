@@ -181,9 +181,21 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def main(argv=None):
+    import os
+
     from cardiax.config import (get_args, load_config_from_json,
                                 update_config_by_args,
                                 update_config_by_undefined_args)
+    if os.environ.get("CARDIAX_TPU_LOCK"):
+        # cooperative single-process TPU guard (the axon tunnel does not
+        # queue a second client — CLAUDE.md one-process trap); released on
+        # process exit via the lock's pid-liveness staleness rule
+        import atexit
+
+        from cardiax.utils.tpulock import release, tpu_lock
+        tpu_lock("cardiax.main", timeout=float(
+            os.environ.get("CARDIAX_TPU_LOCK_TIMEOUT", "600"))).__enter__()
+        atexit.register(release)
     args, undefined = get_args(argv)
     config = load_config_from_json(args.config_file)
     config = update_config_by_args(config, args)

@@ -753,7 +753,7 @@ def _run_tiled(kernel_mode, img, dy, dx, radius: int, interpret: bool,
     win = tile_rows + 2 * _win_margin(radius)
     band = pl.BlockSpec((None, tile_rows, w), lambda i, r: (i, r, 0),
                         memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.ANY)
+    full = pl.BlockSpec(memory_space=pl.ANY)
     kern = functools.partial(_tiled_tap_kernel, radius=radius,
                              mode=kernel_mode, h=h, tile_rows=tile_rows)
     return pl.pallas_call(
@@ -774,7 +774,7 @@ def _run_tiled_transpose(g, dy, dx, radius: int, interpret: bool,
     win = tile_rows + 2 * _win_margin(radius)
     band = pl.BlockSpec((None, tile_rows, w), lambda i, r: (i, r, 0),
                         memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.ANY)
+    full = pl.BlockSpec(memory_space=pl.ANY)
     kern = functools.partial(_tiled_transpose_kernel, radius=radius, h=h,
                              tile_rows=tile_rows)
     return pl.pallas_call(

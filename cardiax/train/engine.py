@@ -676,15 +676,15 @@ class TrainerEngine:
 
         preds: List[Dict[str, Any]] = []
         loss_accum: Dict[str, float] = {}
+        step_values: List[Dict[str, Any]] = []
         nb = 0
         for batch in loader:
             arrays = shard_batch(batch, self.mesh)
             dev = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
             values, pred = self._eval_step(self.params, dev)
             nb += 1
-            for k, v in values.items():
-                loss_accum[k] = loss_accum.get(k, 0.0) + float(v)
-            pred_np = jax.tree_util.tree_map(np.asarray, pred)
+            step_values.append(values)  # deferred sync (same as train loop)
+            pred_np = jax.device_get(pred)
             mask = np.asarray(batch["sample_mask"])
             bsz = int(mask.shape[0])
             for i in range(bsz):
@@ -699,6 +699,10 @@ class TrainerEngine:
                     if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == bsz:
                         sample[f"{k}_pred"] = v[i]
                 preds.append(sample)
+
+        for values in jax.device_get(step_values):   # one bulk metric fetch
+            for k, v in values.items():
+                loss_accum[k] = loss_accum.get(k, 0.0) + float(v)
 
         perf = self.scheme.performance(preds, target_dataset)
         for k, v in loss_accum.items():

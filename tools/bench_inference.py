@@ -51,4 +51,6 @@ def main(warmup: int = 5, steps: int = 50) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from cardiax.utils.tpulock import tpu_lock
+    with tpu_lock("bench_inference"):
+        main()

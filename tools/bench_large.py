@@ -86,4 +86,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    from cardiax.utils.tpulock import tpu_lock
+    with tpu_lock("bench_large"):
+        main()

@@ -29,14 +29,15 @@ sys.path.insert(0, str(REPO / "tools"))
 
 from qualify_stack import N_SUBJECTS, build_config  # noqa: E402
 
-# 48 subjects -> 5 folds of 10/10/10/9/9 subjects (start-anchored regexes
-# need the .* wrapper: ids are "SET00-CT00"-style)
+# 48 subjects -> 5 folds of 10/10/10/9/9 subjects. Ids are zero-padded
+# "SET00-CT07"-style (cardiax/data/synthetic.py:76), and split regexes are
+# start-anchored re.match — hence the .*CT07(?!\d).* form.
 FOLD_SUBJECTS = [
-    [f"CT{i}" for i in range(0, 10)],
-    [f"CT{i}" for i in range(10, 20)],
-    [f"CT{i}" for i in range(20, 30)],
-    [f"CT{i}" for i in range(30, 39)],
-    [f"CT{i}" for i in range(39, 48)],
+    [f"CT{i:02d}" for i in range(0, 10)],
+    [f"CT{i:02d}" for i in range(10, 20)],
+    [f"CT{i:02d}" for i in range(20, 30)],
+    [f"CT{i:02d}" for i in range(30, 39)],
+    [f"CT{i:02d}" for i in range(39, 48)],
 ]
 
 

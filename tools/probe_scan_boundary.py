@@ -68,4 +68,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    from cardiax.utils.tpulock import tpu_lock
+    with tpu_lock("probe_scan_boundary"):
+        main()

@@ -15,7 +15,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def main(out_dir: str = "/tmp/cardiax_profile", steps: int = 10) -> None:
+def main(out_dir: str = "/tmp/cardiax_profile", steps: int = 10,
+         batch: int | None = None) -> None:
     import jax
     import bench
     from cardiax.models import build_model
@@ -23,11 +24,12 @@ def main(out_dir: str = "/tmp/cardiax_profile", steps: int = 10) -> None:
     from cardiax.train import build_trainer
     import __graft_entry__ as ge
 
+    batch = batch or bench.BATCH   # --batch 40: the b40 drop investigation
     cfg = ge._flagship_config(h=bench.H, w=bench.W, t_myo=bench.T_FRAMES,
                               t_strain=bench.T_STRAIN,
-                              n_sectors=bench.N_SECTORS, batch=bench.BATCH)
+                              n_sectors=bench.N_SECTORS, batch=batch)
     cfg["networks"]["joint_register_strainmat"]["n_integration_steps"] = 5
-    host_batch = ge._synthetic_batch(batch=bench.BATCH, h=bench.H, w=bench.W,
+    host_batch = ge._synthetic_batch(batch=batch, h=bench.H, w=bench.W,
                                      t_myo=bench.T_FRAMES,
                                      t_strain=bench.T_STRAIN,
                                      n_sectors=bench.N_SECTORS)
@@ -52,12 +54,20 @@ def main(out_dir: str = "/tmp/cardiax_profile", steps: int = 10) -> None:
     float(values["total_loss"])
     dt = (time.perf_counter() - t0) / steps
     jax.profiler.stop_trace()
-    print(f"wall step time: {dt * 1e3:.1f} ms "
-          f"({bench.BATCH / dt:.1f} slices/sec/chip)")
+    print(f"wall step time: {dt * 1e3:.1f} ms at batch {batch} "
+          f"({batch / dt:.1f} slices/sec/chip)")
 
     from cardiax.io.profiling import print_trace_summary
     print_trace_summary(out_dir, top_k=30)
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="/tmp/cardiax_profile")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=None)
+    a = ap.parse_args()
+    from cardiax.utils.tpulock import tpu_lock
+    with tpu_lock("profile_flagship"):
+        main(a.out_dir, steps=a.steps, batch=a.batch)
