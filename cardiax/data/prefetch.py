@@ -34,6 +34,12 @@ class PrefetchBatcher:
     def __len__(self) -> int:
         return len(self.loader)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Forward the engine's epoch pin to the wrapped loader (epoch-indexed
+        shuffle; no-op for loaders without one)."""
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         err: list = []
