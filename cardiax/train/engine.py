@@ -460,8 +460,18 @@ class TrainerEngine:
                 start_epoch = int(extra["epoch"]) + 1
 
         history: List[Dict[str, float]] = []
+        # best-epoch metric snapshot rides as a sidecar JSON (not a pytree of
+        # arrays, so not in the orbax state): without it a resumed run that
+        # never improves again would skip the final `best-` relog
+        best_metrics_path = None
+        best_epoch_metrics = {}
+        if ckpt is not None:
+            best_metrics_path = ckpt.directory / "best_metrics.json"
+            if start_epoch > 0 and best_metrics_path.exists():
+                import json as _json
+                best_epoch_metrics = _json.loads(
+                    best_metrics_path.read_text())
         prefix = self.metric_prefix
-        best_epoch_metrics: Dict[str, float] = {}
         t_start = time.perf_counter()
 
         # ---- periodic visualization interval (reference others.
@@ -617,12 +627,16 @@ class TrainerEngine:
             # checkpoint AFTER the early-stop update, so the saved counters
             # reflect this epoch's decision and resume is state-exact
             if ckpt is not None:
-                ckpt.save(epoch, self.params, self.opt_states,
-                          best_params=best_params,
-                          extra={"epoch": epoch, "best_val": best_val,
-                                 "best_epoch": best_epoch,
-                                 "epochs_without_improvement":
-                                     epochs_without_improvement})
+                saved = ckpt.save(epoch, self.params, self.opt_states,
+                                  best_params=best_params,
+                                  extra={"epoch": epoch, "best_val": best_val,
+                                         "best_epoch": best_epoch,
+                                         "epochs_without_improvement":
+                                             epochs_without_improvement})
+                if saved and best_metrics_path is not None:
+                    import json as _json
+                    best_metrics_path.write_text(
+                        _json.dumps(best_epoch_metrics))
             if stop:
                 break
 
