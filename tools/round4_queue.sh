@@ -86,9 +86,11 @@ stage profile_b40 "$Q/profile_b40.done" \
 stage profile_b20 "$Q/profile_b20.done" \
   python tools/profile_flagship.py /tmp/cardiax_profile_b20 --batch 20
 
-# 4. Fused-scan boundary probe between 256^2 and 131k px (VERDICT #7).
+# 4. Fused-scan boundary probe between 256^2 and 131k px (VERDICT #7):
+#    ladder in Mosaic-friendly steps (w mult of 128, h mult of 8 -> 64).
 stage scan_boundary "$Q/scan_boundary.done" \
-  python tools/probe_scan_boundary.py
+  python tools/probe_scan_boundary.py \
+      --shapes 256x256 320x256 384x256 448x256 512x256 384x384 512x512
 
 # 5. 400-epoch stability + interrupt/resume (VERDICT #3). Internally staged
 #    and cached; summary.json is the done marker.
