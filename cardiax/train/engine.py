@@ -492,8 +492,15 @@ class TrainerEngine:
         # epoch of dispatched compute. Sync ONE scalar every N steps to bound
         # the detection latency while keeping async dispatch (0 disables).
         spot_every = int(cfg.get("metric_spot_check_steps", 50))
+        # Opt-in per-epoch host wall-time metric (training.log_epoch_walltime).
+        # Measured from epoch start to after the epoch-end device_get syncs, so
+        # it reflects real train+val wall including device completion. Off by
+        # default: the extra key would break bit-equality row comparisons
+        # (tools/stability_run.py) and it is only meaningful for benchmarking.
+        log_wall = bool(cfg.get("log_epoch_walltime", False))
 
         for epoch in range(start_epoch, epochs):
+            t_epoch = time.perf_counter()
             # epoch-indexed shuffle: a resumed run replays the uninterrupted
             # run's epoch-k..N data stream exactly (loader.epoch_permutation)
             if hasattr(train_loader, "set_epoch"):
@@ -575,6 +582,9 @@ class TrainerEngine:
                     epoch_metrics[f"{prefix}val/{k}"] = v / max(1, nv)
                 epoch_total_val = epoch_metrics.get(f"{prefix}val/total_loss")
 
+            if log_wall:
+                epoch_metrics[f"{prefix}time/epoch_wall_s"] = (
+                    time.perf_counter() - t_epoch)
             tracker.log(epoch_metrics, step=epoch)
             history.append(dict(epoch_metrics))
 

@@ -59,3 +59,23 @@ def test_train_then_inference_only_reload(tmp_path):
 
     preds = np.load(out / "test_pred.npy", allow_pickle=True).tolist()
     assert preds[0]["TOS_pred"].shape == (126,)
+
+
+def test_epoch_walltime_metric_opt_in(tmp_path):
+    """training.log_epoch_walltime stamps time/epoch_wall_s per epoch row;
+    it stays OFF by default (extra keys would break bit-equality row
+    comparisons, tools/stability_run.py)."""
+    cfg_path, out = _cfg(tmp_path)
+    main(["--config-file", str(cfg_path),
+          "--training--log_epoch_walltime=true"])
+    rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    epoch_rows = [r for r in rows if any(k.startswith("train/") for k in r)]
+    assert epoch_rows and all("time/epoch_wall_s" in r for r in epoch_rows)
+    assert all(r["time/epoch_wall_s"] > 0 for r in epoch_rows)
+
+    # default: the key is absent
+    out2 = tmp_path / "out2"
+    main(["--config-file", str(cfg_path),
+          f"--saving--saving_dir={out2}"])
+    rows2 = [json.loads(l) for l in open(out2 / "metrics.jsonl")]
+    assert not any("time/epoch_wall_s" in r for r in rows2)

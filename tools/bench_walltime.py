@@ -4,19 +4,24 @@ The device step is ~16 ms but round-3 real training ran ~4.3 s/epoch — the
 wall time went to per-step host->device transfer over the tunneled PCIe plus
 per-metric blocking syncs (STATUS.md round 3). The round-3 engine fixes
 (DeviceBatcher dataset cache + deferred metric sync) were built and
-bit-identity-tested but never measured on hardware. This tool measures them:
+bit-identity-tested but never measured on hardware. This tool measures them.
 
-    for cache in (off, on):
-        wall(E_warm epochs) and wall(E_warm + E_meas epochs), same process
-        -> marginal sec/epoch = (wall_long - wall_short) / E_meas
-           (compile + setup costs cancel in the difference)
+Methodology (v2): per-epoch wall times are measured INSIDE one process per
+mode via `training.log_epoch_walltime` (engine stamps `time/epoch_wall_s`
+per epoch, measured epoch-start -> after the epoch-end device_get syncs).
+The first --warm-epochs epochs are discarded (compile + cache upload); the
+median of the remaining --meas-epochs epochs is the figure. The previous
+difference-of-two-runs design was invalidated on hardware: the XLA persistent
+compile cache made the second (longer) run's fixed cost ~150 s smaller than
+the first's, producing a negative marginal, and ~1 s run-to-run setup noise
+swamped small marginals.
 
-and derives the headline the >=5x north star actually describes:
-**end-to-end training slices/sec (wall)** = train_slices * E_meas / diff.
+Derived headline: **end-to-end training slices/sec (wall)** =
+train_slices / median_epoch_wall (val loop at valid_period 1 included: that
+IS real training; reference hot loop joint_registration_strainmat_LMA.py:179-263).
 
 Scale: the qualification shape — 96 synthetic slices (train 48 / val 16 /
-test 32), 128x128, T=20, batch 10, valid_period 1 (val loop included: that IS
-real training; reference hot loop joint_registration_strainmat_LMA.py:179-263).
+test 32), 128x128, T=20, batch 10.
 
 Usage (real TPU):
     PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_walltime.py \
@@ -28,6 +33,7 @@ from __future__ import annotations
 import argparse
 import copy
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -39,16 +45,33 @@ sys.path.insert(0, str(REPO / "tools"))
 from qualify_stack import N_SUBJECTS, build_config  # noqa: E402
 
 
-def run_epochs(cfg_base: dict, epochs: int, mode: str, out_dir: Path) -> float:
+def epoch_walls(metrics_jsonl: Path) -> list[float]:
+    """epoch -> time/epoch_wall_s, in epoch order."""
+    walls: dict[int, float] = {}
+    for line in metrics_jsonl.read_text().splitlines():
+        try:
+            row = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "time/epoch_wall_s" in row and "step" in row:
+            walls[int(row["step"])] = float(row["time/epoch_wall_s"])
+    return [walls[e] for e in sorted(walls)]
+
+
+def run_mode(cfg_base: dict, mode: str, epochs: int, out_dir: Path) -> list[float]:
     from cardiax.main import run
     cfg = copy.deepcopy(cfg_base)
     cfg["training"]["epochs"] = epochs
     cfg["training"]["device_data_cache"] = mode
+    cfg["training"]["log_epoch_walltime"] = True
     cfg["training"]["test"] = False          # time the TRAIN loop only
-    cfg["saving"]["saving_dir"] = str(out_dir / f"{mode}_{epochs}")
-    t0 = time.perf_counter()
+    run_dir = out_dir / f"mode_{mode}"
+    cfg["saving"]["saving_dir"] = str(run_dir)
+    jsonl = run_dir / "metrics.jsonl"
+    if jsonl.exists():
+        jsonl.unlink()                       # tracker appends; start clean
     run(cfg)
-    return time.perf_counter() - t0
+    return epoch_walls(jsonl)
 
 
 def main(argv=None):
@@ -74,30 +97,39 @@ def main(argv=None):
     cfg_base = build_config(str(data_path), out_dir, "on", seed=2434,
                             epochs=1)
     n_train = 48  # train split of the 96-slice set (qualify_stack split)
+    epochs = args.warm_epochs + args.meas_epochs
 
     from cardiax.utils.tpulock import tpu_lock
 
     results: dict = {"warm_epochs": args.warm_epochs,
-                     "meas_epochs": args.meas_epochs, "modes": {}}
+                     "meas_epochs": args.meas_epochs,
+                     "methodology": "in-process per-epoch walls, median over "
+                                    "meas epochs after warmup", "modes": {}}
     with tpu_lock("bench_walltime", timeout=600):
         for mode in ("false", "true"):
-            short = run_epochs(cfg_base, args.warm_epochs, mode, out_dir)
-            long = run_epochs(cfg_base, args.warm_epochs + args.meas_epochs,
-                              mode, out_dir)
-            sec_per_epoch = (long - short) / args.meas_epochs
+            t0 = time.perf_counter()
+            walls = run_mode(cfg_base, mode, epochs, out_dir)
+            total = time.perf_counter() - t0
+            meas = walls[args.warm_epochs:]
+            med = statistics.median(meas)
             results["modes"][mode] = {
-                "wall_short_s": round(short, 2),
-                "wall_long_s": round(long, 2),
-                "sec_per_epoch": round(sec_per_epoch, 4),
-                "train_slices_per_sec_wall":
-                    round(n_train / sec_per_epoch, 2),
+                "run_wall_s": round(total, 2),
+                "n_epochs_measured": len(meas),
+                "sec_per_epoch_median": round(med, 4),
+                "sec_per_epoch_p10": round(
+                    sorted(meas)[max(0, len(meas) // 10)], 4),
+                "sec_per_epoch_p90": round(
+                    sorted(meas)[min(len(meas) - 1, 9 * len(meas) // 10)], 4),
+                "warm_epoch_walls_s": [round(w, 3)
+                                       for w in walls[:args.warm_epochs]],
+                "train_slices_per_sec_wall": round(n_train / med, 2),
             }
-            print(f"device_data_cache={mode}: {sec_per_epoch:.3f} s/epoch "
-                  f"=> {n_train / sec_per_epoch:.1f} train slices/sec (wall)",
+            print(f"device_data_cache={mode}: median {med:.3f} s/epoch "
+                  f"=> {n_train / med:.1f} train slices/sec (wall)",
                   flush=True)
 
-    off = results["modes"]["false"]["sec_per_epoch"]
-    on = results["modes"]["true"]["sec_per_epoch"]
+    off = results["modes"]["false"]["sec_per_epoch_median"]
+    on = results["modes"]["true"]["sec_per_epoch_median"]
     results["speedup_wall"] = round(off / on, 2)
     print(f"device-cache wall-clock speedup: {results['speedup_wall']}x")
     out_path.write_text(json.dumps(results, indent=1))
