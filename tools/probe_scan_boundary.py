@@ -29,21 +29,32 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def probe(h: int, w: int) -> bool:
+def probe(h: int, w: int, force_fused: bool = False) -> bool:
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from cardiax.ops import epdiff_pallas, shooting
     from cardiax.ops.shooting import expmap_shooting, scan_plan
 
-    print(f"--- scan grid {h}x{w}: plan={scan_plan(h, w, 8)}", flush=True)
-    rng = np.random.default_rng(0)
-    m0 = jnp.asarray(rng.normal(size=(2, 2, h, w)).astype(np.float32)) * 0.01
-
-    def loss(m):
-        u, v0 = expmap_shooting(m, n_steps=5, warp_radius=8)
-        return jnp.sum(u * u) + jnp.sum(v0 * v0)
-
+    saved_cap = epdiff_pallas._MAX_FUSED_SCAN_PIXELS
+    saved_force = shooting._FORCE_FUSED
+    if force_fused:
+        # Probe the FUSED kernel itself above the shipped cap (otherwise
+        # expmap_shooting silently falls back to the composite scan and the
+        # probe measures the wrong path).
+        epdiff_pallas._MAX_FUSED_SCAN_PIXELS = max(saved_cap, h * w)
+        shooting._FORCE_FUSED = True
     try:
+        print(f"--- scan grid {h}x{w}: plan={scan_plan(h, w, 8)}"
+              + (" (forced fused)" if force_fused else ""), flush=True)
+        rng = np.random.default_rng(0)
+        m0 = jnp.asarray(
+            rng.normal(size=(2, 2, h, w)).astype(np.float32)) * 0.01
+
+        def loss(m):
+            u, v0 = expmap_shooting(m, n_steps=5, warp_radius=8)
+            return jnp.sum(u * u) + jnp.sum(v0 * v0)
+
         t0 = time.perf_counter()
         val, g = jax.jit(jax.value_and_grad(loss))(m0)
         # float() is the only reliable sync on the tunneled axon platform
@@ -53,17 +64,22 @@ def probe(h: int, w: int) -> bool:
     except Exception as e:  # compile crashes arrive as generic runtime errors
         print(f"FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
         return False
+    finally:
+        epdiff_pallas._MAX_FUSED_SCAN_PIXELS = saved_cap
+        shooting._FORCE_FUSED = saved_force
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", nargs="+",
                     default=["256x256", "512x256", "512x512"])
+    ap.add_argument("--force-fused", action="store_true",
+                    help="probe the fused kernel itself above the shipped cap")
     args = ap.parse_args(argv)
     results = {}
     for s in args.shapes:
         h, w = (int(x) for x in s.split("x"))
-        results[s] = probe(h, w)
+        results[s] = probe(h, w, force_fused=args.force_fused)
     print({k: ("ok" if v else "fail") for k, v in results.items()})
 
 
