@@ -56,6 +56,9 @@ class JointRegisterStrainMatNet(nn.Module):
     strain_downsample: int = 2
     final_warp_radius: int = 12
     strain_features: int = 16
+    # temporal-mix lowering in the strain head ("shift" | "bandmm");
+    # identical math and params — see strain_net.SpatioTemporalBlock
+    strain_tmix: str = "shift"
     # exact_warp=True forces the XLA-gather warp + composite (non-Pallas) scan
     # everywhere — the exact reference path, used as the all-approximations-OFF
     # arm of the qualification A/B runs (STATUS.md)
@@ -146,7 +149,8 @@ class JointRegisterStrainMatNet(nn.Module):
             video = jnp.moveaxis(head_video, 2, -1)           # (B, P, h, w, 2)
             strain = ResNet3DStrainHead(
                 self.n_sectors, self.strain_features,
-                out_frames=self.n_strain_matrix_frames, name="strain_head")(video)
+                out_frames=self.n_strain_matrix_frames,
+                tmix=self.strain_tmix, name="strain_head")(video)
 
         # 3. on-device low-rank smoothing of the predicted strain matrix
         if self.strainmat_smoothing_method == "SVD":

@@ -25,9 +25,22 @@ from flax import linen as nn
 
 class SpatioTemporalBlock(nn.Module):
     """Residual block over (B, T, H, W, C): folded-2D spatial conv + temporal
-    shift-mix. Edge frames replicate (same boundary as 'SAME' conv3d)."""
+    shift-mix. Edge frames replicate (same boundary as 'SAME' conv3d).
+
+    ``tmix`` selects the temporal-mix lowering (identical math, identical
+    params — checkpoints are interchangeable):
+      * ``"shift"`` (default): one C->3F matmul + two edge-replicated
+        shift-concat adds along T (round-3 qualified formulation);
+      * ``"bandmm"``: the tridiagonal shift structure embedded in two small
+        (T_out x T_in) banded matrices contracted on the MXU — no concats,
+        no per-tap shifts. Candidate fix for the b40 de-fusion regression
+        (STATUS round-4: at b40 XLA materializes the shift concats +
+        block reshapes as standalone data-formatting copies, 4.2x growth
+        for 2x batch).
+    """
     features: int
     spatial_stride: int = 1
+    tmix: str = "shift"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -57,6 +70,26 @@ class SpatioTemporalBlock(nn.Module):
         # is then a plain C -> 3F matmul (no k-to-front transpose, which the
         # round-3 profile priced at ~0.45 ms/step at b20) and the three
         # F-wide products are intra-register lane slices.
+        if self.tmix == "bandmm":
+            # Same z, computed as y @ A with the shift structure folded into
+            # a dense (T*C -> T*F) operator: A[t,c,s,f] = sum_k S_k[s,t]
+            # W_k[c,f], where S_p/S_y/S_n are the edge-replicated sub-/main-/
+            # super-diagonal (T_out x T_in) 0/1 matrices. The extra MXU FLOPs
+            # (xT on the mix matmul) are ~us-level at flagship shapes; in
+            # exchange there are no temporal concats or per-tap slices for
+            # XLA to de-fuse at large batch.
+            tt = y.shape[1]
+            i = jnp.arange(tt)
+            d = i[:, None] - i[None, :]                       # s - t
+            s_p = (d == 1) | ((i[:, None] == 0) & (i[None, :] == 0))
+            s_y = d == 0
+            s_n = (d == -1) | ((i[:, None] == tt - 1) & (i[None, :] == tt - 1))
+            s3 = jnp.stack([s_p, s_y, s_n]).astype(jnp.float32)   # (3, s, t)
+            k3 = kernel.reshape(3, f, f)                          # (k, c, f)
+            a = jnp.einsum("kcf,kst->tcsf", k3, s3).astype(y.dtype)
+            z = (jnp.einsum("bthwc,tcsf->bshwf", y, a)
+                 + bias.astype(y.dtype))
+            return nn.gelu(z + y)
         k3 = kernel.reshape(3, f, f).transpose(1, 0, 2).astype(y.dtype)
         m = jnp.einsum("bthwc,ckf->bthwkf", y, k3)
         m_p, m_y, m_n = m[..., 0, :], m[..., 1, :], m[..., 2, :]
@@ -76,13 +109,15 @@ class ResNet3DStrainHead(nn.Module):
     features: int = 16
     n_blocks: int = 3
     out_frames: Optional[int] = None   # None -> keep input T
+    tmix: str = "shift"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(jnp.bfloat16)
         f = self.features
         for i in range(self.n_blocks):
-            x = SpatioTemporalBlock(f * (2 ** i), spatial_stride=2)(x)
+            x = SpatioTemporalBlock(f * (2 ** i), spatial_stride=2,
+                                    tmix=self.tmix)(x)
         b, t, h, w, c = x.shape
         x = x.reshape(b, t, h * w, c).mean(axis=2)            # (B, T, C) spatial pool
         x = x.astype(jnp.float32)
@@ -99,9 +134,11 @@ class NetDisplacement2StrainMat(nn.Module):
     """model(disp (B,2,H,W,T)) -> {'strainmat': (B, n_sectors, T)}."""
     n_sectors: int = 126
     features: int = 16
+    tmix: str = "shift"
 
     @nn.compact
     def __call__(self, disp: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         x = jnp.moveaxis(disp, (1, 4), (4, 1))                 # -> (B, T, H, W, 2)
-        strain = ResNet3DStrainHead(self.n_sectors, self.features)(x)
+        strain = ResNet3DStrainHead(self.n_sectors, self.features,
+                                    tmix=self.tmix)(x)
         return {"strainmat": strain}

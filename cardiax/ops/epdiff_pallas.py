@@ -334,12 +334,14 @@ def unpack_items(y: jnp.ndarray, pr: int, pc: int) -> jnp.ndarray:
 
 # The fused step kernel (and its VJP) keeps ~10 live (h, w) f32 planes
 # (m, v, u, partial sums), far more than the 4-5 of the plain warp kernels;
-# MEASURED compile boundary on v5e: 256x256 planes compile and run (both the
-# standalone probe and the 512^2-frame bench), 512x256 and 512x512 planes
-# crash the Mosaic compile (scoped-VMEM stack, the warp-transpose failure
-# class). Grids beyond this take the composite per-op scan — exact, just
-# slower. Applies to the PACKED plane size too (pack_plan below).
-_MAX_FUSED_SCAN_PIXELS = 256 * 256
+# MEASURED compile boundary on v5e (tools/probe_scan_boundary.py
+# --force-fused, fwd + bwd, r=8): 384x256 planes (98,304 px) compile and
+# run; 448x256 (114,688 px), 512x256, 384x384 and 512x512 crash the Mosaic
+# compile (scoped-VMEM stack, the warp-transpose failure class). Round 3's
+# 256^2 cap was the probed-ok point then; round 4's finer ladder raised it.
+# Grids beyond this take the composite per-op scan — exact, just slower.
+# Applies to the PACKED plane size too (pack_plan below).
+_MAX_FUSED_SCAN_PIXELS = 384 * 256
 
 
 def fused_step_supported(h: int, w: int) -> bool:

@@ -55,6 +55,16 @@ _MAX_VMEM_PIXELS = 512 * 512
 # bound dispatch to the TILED kernels for BOTH fwd and bwd, keeping the
 # custom_vjp pair on one path.
 _MAX_FULL_WARP_PIXELS = 512 * 384
+# The MULTI-channel full-frame kernel keeps ~C more live planes than the
+# single-channel one, so it has its own (lower) MEASURED boundary
+# (tools/probe_warp_boundary.py, r=2, fwd + full bwd): c=2 compiles at
+# 512x256 px and crashes the Mosaic compile at 520x256 AND 384x384; c=4
+# crashes already at 512x256 (no probed-ok point yet -> c>2 always takes
+# the per-channel fallback). Round-4 bugfix: this path previously shared
+# _MAX_FULL_WARP_PIXELS, so a 384^2-frame composite scan crashed instead
+# of falling back (exp_results/round4/scan_boundary.log).
+_MAX_MULTI_WARP_PIXELS = 512 * 256
+_MAX_MULTI_WARP_CHANNELS = 2
 # fully-unrolled tap loop limits (beyond: fori_loop + dynamic rotate).
 # With the d-only hat weights hoisted out of the column loop the per-tap
 # program is tiny and radius 16 (1089 taps) compiles and runs ~5x faster than
@@ -81,6 +91,22 @@ def warp_plan(h: int, w: int, radius: int, backend: str | None = None) -> str:
     if _tile_plan(h, w, radius) is not None:
         return "pallas_tiled"
     return "xla_gather"
+
+
+def multi_warp_plan(h: int, w: int, c: int, radius: int,
+                    backend: str | None = None) -> str:
+    """Which implementation `bilinear_warp_banded_multi` engages:
+    'pallas_multi' (one shared-tap kernel over all channels) or
+    'per_channel' (fall back to the single-channel `warp_plan` path per
+    channel). Pure function of shape+backend for test pinning."""
+    backend = backend or jax.default_backend()
+    taps = (2 * radius + 1) ** 2
+    mc_ok = taps <= (_UNROLL_TAP_LIMIT if _precompute_wys_ok(h, w, radius)
+                     else _UNROLL_TAP_LIMIT_NOPRE)
+    if (backend == "tpu" and c <= _MAX_MULTI_WARP_CHANNELS
+            and h * w <= _MAX_MULTI_WARP_PIXELS and mc_ok):
+        return "pallas_multi"
+    return "per_channel"
 
 
 def _warn_fallback_once(stage: str, reason: str) -> None:
@@ -526,8 +552,11 @@ def bilinear_warp_banded_multi(field: jnp.ndarray, disp: jnp.ndarray,
     computation across channels. ``img_const=True`` marks the field as data
     (no cotangent needed) and skips the d/d img transpose sweep in the VJP.
 
-    Falls back to per-channel `bilinear_warp_banded` off-TPU, on frames too
-    large for full-frame VMEM blocks, or for channel counts > 4.
+    Falls back to per-channel `bilinear_warp_banded` off-TPU, on frames
+    above the multi-kernel's own measured compile boundary
+    (`_MAX_MULTI_WARP_PIXELS` — lower than the single-channel kernel's), or
+    for channel counts > `_MAX_MULTI_WARP_CHANNELS` (c=4 has no probed-ok
+    compile point). Selection is pinned by `multi_warp_plan`.
     """
     h, w = field.shape[-2:]
     c = field.shape[-3]
@@ -535,14 +564,16 @@ def bilinear_warp_banded_multi(field: jnp.ndarray, disp: jnp.ndarray,
     mc_ok = taps <= (_UNROLL_TAP_LIMIT if _precompute_wys_ok(h, w, radius)
                      else _UNROLL_TAP_LIMIT_NOPRE)
     use_kernel = interpret if interpret is not None else (
-        jax.default_backend() == "tpu" and h * w <= _MAX_FULL_WARP_PIXELS)
-    if not use_kernel or c > 4 or h * w > _MAX_FULL_WARP_PIXELS or not mc_ok:
+        jax.default_backend() == "tpu" and h * w <= _MAX_MULTI_WARP_PIXELS)
+    if (not use_kernel or c > _MAX_MULTI_WARP_CHANNELS
+            or h * w > _MAX_MULTI_WARP_PIXELS or not mc_ok):
         if jax.default_backend() == "tpu" and interpret is None:
-            if c > 4:
+            if c > _MAX_MULTI_WARP_CHANNELS:
                 _warn_fallback_once(
                     f"multi-channel warp (c={c}, {h}x{w}, r={radius})",
-                    "per-channel kernels: channel count > 4")
-            elif h * w > _MAX_FULL_WARP_PIXELS:
+                    "per-channel kernels: channel count above the probed "
+                    f"multi-kernel limit ({_MAX_MULTI_WARP_CHANNELS})")
+            elif h * w > _MAX_MULTI_WARP_PIXELS:
                 _warn_fallback_once(
                     f"multi-channel warp ({h}x{w}, r={radius})",
                     "per-channel tiled kernels: frame exceeds the full-frame "

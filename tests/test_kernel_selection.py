@@ -34,9 +34,13 @@ def test_warp_plan_off_tpu_is_gather():
 @pytest.mark.parametrize("h,w,expect", [
     (64, 64, "fused_pallas"),       # flagship shoot grid (128^2, ds=2)
     (128, 128, "fused_pallas"),     # 256^2 frames at ds=2
-    (256, 256, "fused_pallas"),     # 512^2 frames at ds=2 == measured limit
-    (512, 256, "composite"),        # measured Mosaic compile crash beyond
-    (512, 512, "composite"),        # 256^2 planes (scoped-VMEM stack)
+    (256, 256, "fused_pallas"),     # 512^2 frames at ds=2
+    (384, 256, "fused_pallas"),     # round-4 probed-ok boundary (98,304 px,
+                                    # forced-fused fwd+bwd compiles + runs)
+    (448, 256, "composite"),        # measured Mosaic compile crash beyond
+    (512, 256, "composite"),        # 384x256 planes (scoped-VMEM stack)
+    (384, 384, "composite"),        # 147k px crashes (probed)
+    (512, 512, "composite"),
     (640, 640, "composite"),        # beyond the fused kernel's block limit
 ])
 def test_scan_plan_tpu_shapes(h, w, expect):
@@ -57,6 +61,33 @@ def test_limit_constant_consistency():
     assert warp_plan(512, 384, 12, "tpu") == "pallas_full"
     assert warp_plan(512, 512, 12, "tpu") == "pallas_tiled"
     assert _MAX_FULL_WARP_PIXELS == 512 * 384 < _MAX_VMEM_PIXELS == 512 * 512
+    # the multi-channel kernel's own boundary sits BELOW the single-channel
+    # one (it keeps ~C more live planes): measured c=2 ok at 512x256,
+    # crash at 520x256 / 384x384; c=4 has no probed-ok point
+    from cardiax.ops.warp_pallas import (_MAX_MULTI_WARP_CHANNELS,
+                                         _MAX_MULTI_WARP_PIXELS)
+    assert _MAX_MULTI_WARP_PIXELS == 512 * 256 < _MAX_FULL_WARP_PIXELS
+    assert _MAX_MULTI_WARP_CHANNELS == 2
+
+
+@pytest.mark.parametrize("h,w,c,radius,expect", [
+    (64, 64, 2, 2, "pallas_multi"),     # flagship in-scan u_inv warp
+    (128, 128, 2, 12, "pallas_multi"),  # final image warp (c<=2)
+    (512, 256, 2, 2, "pallas_multi"),   # probed-ok boundary
+    (520, 256, 2, 2, "per_channel"),    # probed Mosaic crash beyond
+    (384, 384, 2, 2, "per_channel"),    # probed crash (the round-4 bug:
+                                        # previously selected the kernel)
+    (128, 128, 4, 2, "per_channel"),    # c=4: no probed-ok compile point
+    (128, 128, 3, 2, "per_channel"),
+])
+def test_multi_warp_plan_tpu_shapes(h, w, c, radius, expect):
+    from cardiax.ops.warp_pallas import multi_warp_plan
+    assert multi_warp_plan(h, w, c, radius, backend="tpu") == expect
+
+
+def test_multi_warp_plan_off_tpu_is_per_channel():
+    from cardiax.ops.warp_pallas import multi_warp_plan
+    assert multi_warp_plan(64, 64, 2, 2, backend="cpu") == "per_channel"
 
 
 def test_fallback_warns_exactly_once():
@@ -75,7 +106,7 @@ def test_pack_plan_respects_fused_scan_budget():
     kernel compile boundary (256^2 px): a 250^2 grid used to pack rows x2
     into a 125k-px plane under the old 512^2 budget and crash Mosaic."""
     from cardiax.ops.epdiff_pallas import _MAX_FUSED_SCAN_PIXELS, pack_plan
-    assert _MAX_FUSED_SCAN_PIXELS == 256 * 256
+    assert _MAX_FUSED_SCAN_PIXELS == 384 * 256   # round-4 probed boundary
     for n, h, w in [(6, 64, 64), (10, 128, 128), (4, 250, 250),
                     (2, 256, 256), (3, 90, 90), (8, 32, 48)]:
         pr, pc, n_pad = pack_plan(n, h, w)

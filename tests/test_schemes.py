@@ -321,3 +321,49 @@ def test_temporal_mix_matches_dense_concat():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_temporal_mix_bandmm_matches_shift():
+    """tmix='bandmm' (banded T-matmul lowering) == tmix='shift' (concat
+    shift-adds) on the SAME params — fwd and param grads. The two are the
+    same math; bandmm exists because at b40 XLA materializes the shift
+    concats as standalone copies (STATUS round-4 b40 analysis)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cardiax.models.strain_net import SpatioTemporalBlock
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 7, 8, 8, 6)).astype(np.float32))
+    blk_s = SpatioTemporalBlock(features=6, tmix="shift")
+    blk_b = SpatioTemporalBlock(features=6, tmix="bandmm")
+    params = jax.jit(blk_s.init)(jax.random.PRNGKey(0), x)
+    # identical param trees: bandmm reuses mix_kernel/mix_bias verbatim
+    assert jax.tree_util.tree_structure(jax.jit(blk_b.init)(
+        jax.random.PRNGKey(0), x)) == jax.tree_util.tree_structure(params)
+
+    out_s = jax.jit(blk_s.apply)(params, x)
+    out_b = jax.jit(blk_b.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(out_b, np.float32),
+                               np.asarray(out_s, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss(mod):
+        return lambda p: jnp.sum(jnp.square(mod.apply(p, x).astype(jnp.float32)))
+
+    g_s = jax.jit(jax.grad(loss(blk_s)))(params)
+    g_b = jax.jit(jax.grad(loss(blk_b)))(params)
+
+    def _check(path, vs, vb):
+        # bf16 accumulation-order noise scales with the leaf's magnitude;
+        # compare against 2% of the leaf's own scale (elementwise rtol is
+        # meaningless on near-zero entries)
+        vs = np.asarray(vs, np.float32)
+        vb = np.asarray(vb, np.float32)
+        # floor: Conv_0/bias's true grad is 0 (GroupNorm subtracts the mean),
+        # both modes produce ~1e-4 dust
+        scale = max(np.abs(vs).max(), 1e-1)
+        np.testing.assert_allclose(vb, vs, atol=2e-2 * scale, rtol=0,
+                                   err_msg=f"grad mismatch at {path}")
+
+    jax.tree_util.tree_map_with_path(_check, g_s, g_b)

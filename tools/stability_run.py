@@ -54,21 +54,26 @@ def _epoch_rows(jsonl: Path) -> dict[int, dict]:
     return rows
 
 
-def _launch(cfg_path: Path, resume: bool = False) -> subprocess.Popen:
+def _launch(cfg_path: Path, log_path: Path,
+            resume: bool = False) -> subprocess.Popen:
+    """Launch with stdout appended STRAIGHT to ``log_path`` — never a PIPE.
+    (Round-4 bug found the hard way: B1 used stdout=PIPE and only drained it
+    after the interrupt, so the child deadlocked on a full 64 KB pipe at
+    ~epoch 130 — the 'froze at epoch 126' of round 3 was this, not the
+    tunnel.)"""
     cmd = [sys.executable, "-m", "cardiax.main",
            "--config-file", str(cfg_path)]
     if resume:
         cmd.append("--training--resume=true")
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:" + env.get("PYTHONPATH", "")
-    return subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True)
+    with open(log_path, "a") as f:
+        return subprocess.Popen(cmd, env=env, stdout=f,
+                                stderr=subprocess.STDOUT, text=True)
 
 
 def _drain(proc: subprocess.Popen, log_path: Path) -> int:
-    with open(log_path, "a") as f:
-        for line in proc.stdout:
-            f.write(line)
+    del log_path  # output already streams to the log file
     return proc.wait()
 
 
@@ -114,7 +119,7 @@ def main(argv=None):
         cfg_a = make_cfg("full")
         if not (out / "full" / "metrics.jsonl").exists():
             t0 = time.perf_counter()
-            rc = _drain(_launch(cfg_a), out / "full.log")
+            rc = _drain(_launch(cfg_a, out / "full.log"), out / "full.log")
             summary["full_wall_s"] = round(time.perf_counter() - t0, 1)
             assert rc == 0, f"uninterrupted run failed rc={rc}; see full.log"
         else:
@@ -125,7 +130,13 @@ def main(argv=None):
         b_metrics = out / "resumed" / "metrics.jsonl"
         if not b_metrics.exists() or \
                 max(_epoch_rows(b_metrics), default=-1) < args.epochs - 1:
-            proc = _launch(cfg_b)
+            # a partial resumed/ from a killed attempt would APPEND and
+            # pollute the per-epoch rows — restart B1 from a clean slate
+            if b_metrics.exists():
+                import shutil
+                shutil.rmtree(out / "resumed", ignore_errors=True)
+                (out / "resumed.log").unlink(missing_ok=True)
+            proc = _launch(cfg_b, out / "resumed.log")
             interrupted_at = None
             while proc.poll() is None:
                 time.sleep(5)
@@ -142,7 +153,8 @@ def main(argv=None):
 
             # ---- stage B2: resume ----
             t0 = time.perf_counter()
-            rc = _drain(_launch(cfg_b, resume=True), out / "resumed.log")
+            rc = _drain(_launch(cfg_b, out / "resumed.log", resume=True),
+                        out / "resumed.log")
             summary["resume_wall_s"] = round(time.perf_counter() - t0, 1)
             assert rc == 0, f"resumed run failed rc={rc}; see resumed.log"
 
