@@ -58,7 +58,7 @@ class JointRegisterStrainMatNet(nn.Module):
     strain_features: int = 16
     # temporal-mix lowering in the strain head ("shift" | "bandmm");
     # identical math and params — see strain_net.SpatioTemporalBlock
-    strain_tmix: str = "shift"
+    strain_tmix: str = "bandmm"
     # exact_warp=True forces the XLA-gather warp + composite (non-Pallas) scan
     # everywhere — the exact reference path, used as the all-approximations-OFF
     # arm of the qualification A/B runs (STATUS.md)

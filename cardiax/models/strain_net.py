@@ -29,18 +29,20 @@ class SpatioTemporalBlock(nn.Module):
 
     ``tmix`` selects the temporal-mix lowering (identical math, identical
     params — checkpoints are interchangeable):
-      * ``"shift"`` (default): one C->3F matmul + two edge-replicated
-        shift-concat adds along T (round-3 qualified formulation);
-      * ``"bandmm"``: the tridiagonal shift structure embedded in two small
-        (T_out x T_in) banded matrices contracted on the MXU — no concats,
-        no per-tap shifts. Candidate fix for the b40 de-fusion regression
-        (STATUS round-4: at b40 XLA materializes the shift concats +
-        block reshapes as standalone data-formatting copies, 4.2x growth
-        for 2x batch).
+      * ``"bandmm"`` (default since round 4): the tridiagonal shift structure
+        embedded in small (T_out x T_in) banded matrices contracted on the
+        MXU — no concats, no per-tap shifts. Measured on v5e (full joint
+        step, tools/probe_tmix.py): -11% step time at b10, -10% at b20,
+        -15% at b40 vs 'shift' — it removes the data-formatting copies XLA
+        materializes when it stops fusing the shift concats + block reshapes
+        at large batch (STATUS round-4 b40 analysis).
+      * ``"shift"``: one C->3F matmul + two edge-replicated shift-concat
+        adds along T (the round-3 formulation; kept as the structural
+        reference for the parity test).
     """
     features: int
     spatial_stride: int = 1
-    tmix: str = "shift"
+    tmix: str = "bandmm"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -109,7 +111,7 @@ class ResNet3DStrainHead(nn.Module):
     features: int = 16
     n_blocks: int = 3
     out_frames: Optional[int] = None   # None -> keep input T
-    tmix: str = "shift"
+    tmix: str = "bandmm"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -134,7 +136,7 @@ class NetDisplacement2StrainMat(nn.Module):
     """model(disp (B,2,H,W,T)) -> {'strainmat': (B, n_sectors, T)}."""
     n_sectors: int = 126
     features: int = 16
-    tmix: str = "shift"
+    tmix: str = "bandmm"
 
     @nn.compact
     def __call__(self, disp: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:

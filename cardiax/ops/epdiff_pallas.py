@@ -333,15 +333,24 @@ def unpack_items(y: jnp.ndarray, pr: int, pc: int) -> jnp.ndarray:
 
 
 # The fused step kernel (and its VJP) keeps ~10 live (h, w) f32 planes
-# (m, v, u, partial sums), far more than the 4-5 of the plain warp kernels;
-# MEASURED compile boundary on v5e (tools/probe_scan_boundary.py
-# --force-fused, fwd + bwd, r=8): 384x256 planes (98,304 px) compile and
-# run; 448x256 (114,688 px), 512x256, 384x384 and 512x512 crash the Mosaic
-# compile (scoped-VMEM stack, the warp-transpose failure class). Round 3's
-# 256^2 cap was the probed-ok point then; round 4's finer ladder raised it.
-# Grids beyond this take the composite per-op scan — exact, just slower.
-# Applies to the PACKED plane size too (pack_plan below).
-_MAX_FUSED_SCAN_PIXELS = 384 * 256
+# (m, v, u, partial sums), far more than the 4-5 of the plain warp kernels.
+# MEASURED boundary on v5e — and the probe harness matters:
+#   - standalone (tools/probe_scan_boundary.py --force-fused, fwd+bwd, r=8):
+#     384x256 planes (98,304 px) compile and run; 448x256, 512x256, 384x384,
+#     512x512 crash the Mosaic compile (scoped-VMEM stack).
+#   - FULL train step: the standalone boundary does NOT transfer. With the
+#     cap raised to 384*256, a 384^2-frame step packed 192^2 grids into
+#     384x192 planes and the backward custom-call OOM'd scoped VMEM at
+#     25.29M/16M — inside the big program XLA places the kernel's
+#     operands/results in VMEM (S(1) memory-space layouts in the error),
+#     adding ~5x plane-size bytes the standalone probe (operands in HBM)
+#     never pays. 256^2 planes are full-step-proven (flagship packed
+#     256x128, bench_large 256^2/512^2 rows, round 3+4).
+# So the cap stays at the full-step-proven 256^2; grids beyond take the
+# composite per-op scan — exact, just slower. Applies to the PACKED plane
+# size too (pack_plan below). Raise only on FULL-step evidence
+# (tools/bench_large.py), not the standalone probe.
+_MAX_FUSED_SCAN_PIXELS = 256 * 256
 
 
 def fused_step_supported(h: int, w: int) -> bool:

@@ -35,10 +35,12 @@ def test_warp_plan_off_tpu_is_gather():
     (64, 64, "fused_pallas"),       # flagship shoot grid (128^2, ds=2)
     (128, 128, "fused_pallas"),     # 256^2 frames at ds=2
     (256, 256, "fused_pallas"),     # 512^2 frames at ds=2
-    (384, 256, "fused_pallas"),     # round-4 probed-ok boundary (98,304 px,
-                                    # forced-fused fwd+bwd compiles + runs)
-    (448, 256, "composite"),        # measured Mosaic compile crash beyond
-    (512, 256, "composite"),        # 384x256 planes (scoped-VMEM stack)
+    (384, 256, "composite"),        # standalone-probed ok, but the FULL
+                                    # step OOMs scoped VMEM above 256^2
+                                    # (operands placed in VMEM; see
+                                    # epdiff_pallas._MAX_FUSED_SCAN_PIXELS)
+    (448, 256, "composite"),        # measured Mosaic compile crash even
+    (512, 256, "composite"),        # standalone (scoped-VMEM stack)
     (384, 384, "composite"),        # 147k px crashes (probed)
     (512, 512, "composite"),
     (640, 640, "composite"),        # beyond the fused kernel's block limit
@@ -106,7 +108,11 @@ def test_pack_plan_respects_fused_scan_budget():
     kernel compile boundary (256^2 px): a 250^2 grid used to pack rows x2
     into a 125k-px plane under the old 512^2 budget and crash Mosaic."""
     from cardiax.ops.epdiff_pallas import _MAX_FUSED_SCAN_PIXELS, pack_plan
-    assert _MAX_FUSED_SCAN_PIXELS == 384 * 256   # round-4 probed boundary
+    # Full-step-proven boundary. Round 4 raised this to the standalone-probed
+    # 384*256 and a 384^2-frame FULL step then OOM'd scoped VMEM on a packed
+    # 384x192 plane (XLA places kernel operands in VMEM inside the big
+    # program) — standalone probes overestimate; see epdiff_pallas.py.
+    assert _MAX_FUSED_SCAN_PIXELS == 256 * 256
     for n, h, w in [(6, 64, 64), (10, 128, 128), (4, 250, 250),
                     (2, 256, 256), (3, 90, 90), (8, 32, 48)]:
         pr, pc, n_pad = pack_plan(n, h, w)

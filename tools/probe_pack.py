@@ -1,11 +1,11 @@
 """Probe deeper item packing in the fused EPDiff scan on the real TPU.
 
-The round-4 fused-scan boundary probe raised `_MAX_FUSED_SCAN_PIXELS` to
-384*256, which leaves headroom above the flagship's current 2x2 packing
-(64^2 grid -> 128x128 packed plane, 4 items). Doubling the row packing once
-more (pr=4 -> 256x128 plane, 8 items) halves the number of per-step kernel
-dispatches. This tool A/Bs the FULL flagship joint train step with the
-shipped pack_plan vs a forced deeper-row variant.
+The flagship ships 2x2 packing (64^2 grid -> 128x128 packed plane, 4 items).
+Doubling the row packing once more (pr=4 -> 256x128 plane, 8 items) halves
+the number of per-step kernel dispatches while staying at a FULL-STEP-proven
+plane size (256x128 packed planes run in the 256^2-frame bench_large row).
+This tool A/Bs the FULL flagship joint train step with the shipped pack_plan
+vs a forced deeper-row variant.
 
 Usage (real TPU):
     PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_pack.py \
