@@ -120,3 +120,7 @@ def test_pack_plan_respects_fused_scan_budget():
         assert (n + n_pad) % (pr * pc) == 0
     # flagship shape keeps its 2x2 packing (perf-load-bearing)
     assert pack_plan(190, 64, 64)[:2] == (2, 2)
+    # 384^2 frames (ds=2 -> 192^2 grids) must shoot UNPACKED: packing rows
+    # x2 makes a 384x192 plane, which the FULL-step backward OOM'd on
+    # hardware when the cap was briefly 384*256 (round-4 regression)
+    assert pack_plan(14, 192, 192)[:2] == (1, 1)
