@@ -63,6 +63,11 @@ _MAX_FULL_WARP_PIXELS = 512 * 384
 # the per-channel fallback). Round-4 bugfix: this path previously shared
 # _MAX_FULL_WARP_PIXELS, so a 384^2-frame composite scan crashed instead
 # of falling back (exp_results/round4/scan_boundary.log).
+# FULL-STEP-proven (the evidence bar the fused-scan cap revert set): the
+# 768x512- and 1024x512-frame train steps run the in-scan multi kernel at
+# 98,304-px and exactly 131,072-px (= this cap) grids inside the composite
+# scan (exp_results/round4/bench_large_{768x512,1024x512}.log) — XLA's
+# in-program operand placement fits beside this kernel's 4-5 live planes.
 _MAX_MULTI_WARP_PIXELS = 512 * 256
 _MAX_MULTI_WARP_CHANNELS = 2
 # fully-unrolled tap loop limits (beyond: fori_loop + dynamic rotate).

@@ -23,7 +23,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def measure(h: int, batch: int, t_frames: int, steps: int = 10) -> dict:
+def measure(h: int, batch: int, t_frames: int, steps: int = 10,
+            w: int | None = None) -> dict:
     import jax
     from cardiax.models import build_model
     from cardiax.ops.shooting import scan_plan
@@ -32,19 +33,20 @@ def measure(h: int, batch: int, t_frames: int, steps: int = 10) -> dict:
     from cardiax.train import build_trainer
     import __graft_entry__ as ge
 
+    w = h if w is None else w
     t_strain = 2 * t_frames
-    cfg = ge._flagship_config(h=h, w=h, t_myo=t_frames, t_strain=t_strain,
+    cfg = ge._flagship_config(h=h, w=w, t_myo=t_frames, t_strain=t_strain,
                               batch=batch)
     net = cfg["networks"]["joint_register_strainmat"]
     net["n_integration_steps"] = 5
     ds = int(net.get("shoot_downsample", 2))
     report = {
-        "frame": f"{h}x{h}", "batch": batch, "t_frames": t_frames,
-        "scan": scan_plan(h // ds, h // ds, backend="tpu"),
-        "scan_grid": f"{h // ds}x{h // ds} (shoot_downsample={ds})",
-        "final_warp": warp_plan(h, h, radius=12, backend="tpu"),
+        "frame": f"{h}x{w}", "batch": batch, "t_frames": t_frames,
+        "scan": scan_plan(h // ds, w // ds, backend="tpu"),
+        "scan_grid": f"{h // ds}x{w // ds} (shoot_downsample={ds})",
+        "final_warp": warp_plan(h, w, radius=12, backend="tpu"),
     }
-    host_batch = ge._synthetic_batch(batch=batch, h=h, w=h, t_myo=t_frames,
+    host_batch = ge._synthetic_batch(batch=batch, h=h, w=w, t_myo=t_frames,
                                      t_strain=t_strain)
     mesh = get_mesh()
     networks = {name: build_model(mc) for name, mc in cfg["networks"].items()}
@@ -76,13 +78,17 @@ def measure(h: int, batch: int, t_frames: int, steps: int = 10) -> dict:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", type=int, nargs="+", default=[256, 512])
+    ap.add_argument("--sizes", nargs="+", default=["256", "512"],
+                    help="square size N or rectangular HxW")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args(argv)
-    for h in args.sizes:
-        print(json.dumps(measure(h, args.batch, args.frames, args.steps)))
+    for size in args.sizes:
+        h, _, w = str(size).partition("x")
+        h, w = int(h), int(w) if w else int(h)
+        print(json.dumps(measure(h, args.batch, args.frames, args.steps,
+                                 w=w)), flush=True)
 
 
 if __name__ == "__main__":
