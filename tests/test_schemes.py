@@ -165,6 +165,62 @@ def test_joint_registration_strainmat_lma_scheme():
     assert p["displacement_pred"].shape[-3] == 2
 
 
+def test_joint_scheme_rectangular_frames():
+    """Full joint scheme at h != w (clinical DENSE frames are often
+    rectangular pre-resize; the TPU kernels were full-step-proven at
+    768x512 / 1024x512 in round 4 — this pins the shape plumbing on CPU)."""
+    h, w, t = 16, 24, 6
+    data = make_dataset(n_subjects=3, slices_per_subject=1, h=h, w=w,
+                        n_frames=t, seed=5)
+    data = add_displacement_fields(data, seed=5)
+    for i, d in enumerate(data):
+        d["slice_full_id"] = f"{d['subject_id']}-{i}"
+        d["slice_idx"] = i
+        d["augmented"] = False
+    splits = {"train": {"data": data}, "val": {"data": data[:2]}}
+    ts = 12
+    datasets = build_datasets(
+        {n: {"type": "JointDataset", "data_split": [n],
+             "n_myo_frames_to_use_for_regression": t,
+             "n_strainmat_frames_to_use_for_regression": ts}
+         for n in ("train", "val")}, splits)
+    cfg = {
+        "networks": {
+            "joint_register_strainmat": {
+                "type": "JointRegisterStrainMatNet",
+                "strainmat_net_type": "ResNet3D",
+                "n_strain_matrix_frames": ts,
+                "strainmat_smoothing_method": "SVD",
+                "strainmat_smoothing_SVD_rank": 5, "reg_features": 8,
+                "n_integration_steps": 2},
+            "LMA": {"type": "NetStrainMat2LMA", "num_conv_layers": 2,
+                    "inner_conv_channel_num": 8, "n_frames": ts}},
+        "training": {"scheme": "joint_registration_strainmat_LMA",
+                     "LMA_task": "TOS_regression", "LMA_threshold": 20,
+                     "seed": 7, "batch_size": 3, "epochs": 2,
+                     "optimizers": {
+                         "joint_register_strainmat": {"type": "Adam",
+                                                      "learning_rate": 1e-4},
+                         "LMA": {"type": "Adam", "learning_rate": 5e-4}}},
+        "losses": {
+            "registration_reconstruction": {
+                "criterion": "registration_reconstruction",
+                "prediction": "various", "target": "registration_target",
+                "weight": 1.0, "sigma": 0.03,
+                "regularization_weight": 0.1, "enable": True},
+            "TOS_regression": {"criterion": "MSELoss", "prediction": "TOS",
+                               "target": "TOS", "weight": 0.005,
+                               "enable": True}},
+        "saving": {}, "others": {},
+    }
+    trained, preds, perf = _train_and_test(cfg, datasets)
+    p = preds[0]
+    assert p["strain_matrix_pred"].shape == (1, NSEC, ts)
+    assert p["deformed_source_pred"].shape[-2:] == (h, w)
+    assert p["displacement_pred"].shape[-2:] == (h, w)
+    assert np.isfinite(perf["final-val/sector_error"])
+
+
 def test_displacement_band_guard_warns():
     import types
     import warnings
