@@ -226,9 +226,11 @@ class DeviceBatcher:
                 return batch_sharding(mesh, ndim) if div                     else replicate_sharding(mesh)
             out_sh = {k: sh(v.ndim) for k, v in arrays.items()}
             out_sh["sample_mask"] = sh(1)
+            self._out_sh = out_sh      # fused-epoch path mirrors these
             self._gather = jax.jit(self._gather_fn, out_shardings=out_sh)
         else:
             self._data = {k: jnp.asarray(v) for k, v in arrays.items()}
+            self._out_sh = None
             self._gather = jax.jit(self._gather_fn)
 
     @staticmethod
@@ -248,11 +250,18 @@ class DeviceBatcher:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
 
-    def __iter__(self):
+    def epoch_plan(self):
+        """The CURRENT epoch's full batch schedule as ``(idx, mask)``
+        matrices of shape (n_steps, batch_size) — the fused-epoch trainer's
+        one-upload-per-epoch feed (``TrainerEngine`` ``epoch_fuse``).
+        Consumes the epoch exactly like ``__iter__`` (same permutation
+        stream, same repeat-last final-batch padding, advances the epoch
+        counter), so the two feeds are interchangeable step-for-step."""
         n, bs = self.n, self.batch_size
         order = epoch_permutation(self.seed, self._epoch, n) \
             if self.shuffle else np.arange(n)
         self._epoch += 1
+        idx_rows, mask_rows = [], []
         for start in range(0, n, bs):
             idx = order[start:start + bs]
             n_real = len(idx)
@@ -261,7 +270,14 @@ class DeviceBatcher:
                     [idx, np.repeat(idx[-1:], bs - n_real)])
             mask = np.zeros((bs,), np.float32)
             mask[:n_real] = 1.0
-            batch = dict(self._gather(self._data, idx.astype(np.int32), mask))
+            idx_rows.append(idx.astype(np.int32))
+            mask_rows.append(mask)
+        return np.stack(idx_rows), np.stack(mask_rows)
+
+    def __iter__(self):
+        idx_mat, mask_mat = self.epoch_plan()   # advances the epoch counter
+        for idx, mask in zip(idx_mat, mask_mat):
+            batch = dict(self._gather(self._data, idx, mask))
             for k, v in self._meta.items():     # host-side metadata lists
                 batch[k] = [v[int(i)] for i in idx]
             yield batch

@@ -62,7 +62,12 @@ def run_mode(cfg_base: dict, mode: str, epochs: int, out_dir: Path) -> list[floa
     from cardiax.main import run
     cfg = copy.deepcopy(cfg_base)
     cfg["training"]["epochs"] = epochs
-    cfg["training"]["device_data_cache"] = mode
+    if mode == "fused":
+        # device cache + the whole epoch as ONE jitted lax.scan dispatch
+        cfg["training"]["device_data_cache"] = "true"
+        cfg["training"]["epoch_fuse"] = "true"
+    else:
+        cfg["training"]["device_data_cache"] = mode
     cfg["training"]["log_epoch_walltime"] = True
     cfg["training"]["test"] = False          # time the TRAIN loop only
     run_dir = out_dir / f"mode_{mode}"
@@ -81,6 +86,8 @@ def main(argv=None):
     ap.add_argument("--out", default=str(REPO / "exp_results" / "walltime.json"))
     ap.add_argument("--h", type=int, default=128)
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--modes", nargs="+", default=["false", "true"],
+                    help="any of: false true fused")
     args = ap.parse_args(argv)
 
     out_path = Path(args.out)
@@ -106,7 +113,7 @@ def main(argv=None):
                      "methodology": "in-process per-epoch walls, median over "
                                     "meas epochs after warmup", "modes": {}}
     with tpu_lock("bench_walltime", timeout=600):
-        for mode in ("false", "true"):
+        for mode in args.modes:
             t0 = time.perf_counter()
             walls = run_mode(cfg_base, mode, epochs, out_dir)
             total = time.perf_counter() - t0
@@ -128,10 +135,18 @@ def main(argv=None):
                   f"=> {n_train / med:.1f} train slices/sec (wall)",
                   flush=True)
 
-    off = results["modes"]["false"]["sec_per_epoch_median"]
-    on = results["modes"]["true"]["sec_per_epoch_median"]
-    results["speedup_wall"] = round(off / on, 2)
-    print(f"device-cache wall-clock speedup: {results['speedup_wall']}x")
+    modes = results["modes"]
+    if "false" in modes and "true" in modes:
+        off = modes["false"]["sec_per_epoch_median"]
+        on = modes["true"]["sec_per_epoch_median"]
+        results["speedup_wall"] = round(off / on, 2)
+        print(f"device-cache wall-clock speedup: {results['speedup_wall']}x")
+    if "true" in modes and "fused" in modes:
+        results["fuse_speedup_wall"] = round(
+            modes["true"]["sec_per_epoch_median"]
+            / modes["fused"]["sec_per_epoch_median"], 2)
+        print(f"epoch-fuse wall-clock speedup over cache-only: "
+              f"{results['fuse_speedup_wall']}x")
     out_path.write_text(json.dumps(results, indent=1))
     print(f"wrote {out_path}")
 
