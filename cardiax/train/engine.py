@@ -554,13 +554,17 @@ class TrainerEngine:
         # (tools/stability_run.py) and it is only meaningful for benchmarking.
         log_wall = bool(cfg.get("log_epoch_walltime", False))
 
-        # ---- fused-epoch programs (training.epoch_fuse, default false):
+        # ---- fused-epoch programs (training.epoch_fuse, default 'auto'):
         # one jitted lax.scan per epoch over the DeviceBatcher's index
         # matrices instead of 2*n_steps per-step dispatches — each dispatch
         # and index upload is a host round trip on a tunneled TPU. Requires
         # the device-resident cache; step-granular hooks (profiler window,
-        # mid-epoch spot checks) are epoch-granular in this mode. ----
-        fuse_raw = cfg.get("epoch_fuse", False)
+        # mid-epoch spot checks) are epoch-granular in this mode. Default
+        # flipped false -> 'auto' after the resume certification (fused
+        # interrupted+resumed == fused uninterrupted bit-exactly,
+        # tests/test_epoch_fuse.py::test_epoch_fuse_resume_equals_
+        # uninterrupted + the TPU drive in exp_results/stability_fused). ----
+        fuse_raw = cfg.get("epoch_fuse", "auto")
         fuse_mode = "false" if fuse_raw is None else str(fuse_raw).lower()
         if fuse_mode in ("false", "0", "off", "none", "no"):
             fuse_want, fuse_force = False, False
@@ -584,7 +588,8 @@ class TrainerEngine:
             if val_loader is not None and getattr(val_loader,
                                                   "device_resident", False):
                 fuse_val_fn = self._build_epoch_fns(val_loader, for_eval=True)
-        elif fuse_want and profile_dir:
+        elif fuse_want and profile_dir and fuse_force:
+            # auto mode degrades silently; only an explicit `true` warns
             import warnings
             warnings.warn("epoch_fuse: disabled while others.profile_dir is "
                           "set (the profiler window is step-granular)",

@@ -99,6 +99,10 @@ def test_engine_training_identical_with_and_without_cache(tmp_path):
     cfg["data"]["npy_filename"] = str(tmp_path / "s.npy")
     cfg["training"]["epochs"] = 2
     cfg["training"]["batch_size"] = 4
+    # isolate the CACHE swap: with epoch_fuse 'auto' (the shipping default)
+    # only the cache-on arm would fuse, adding reorder drift that is the
+    # fuse's, not the cache's (pinned separately in tests/test_epoch_fuse.py)
+    cfg["training"]["epoch_fuse"] = False
     cfg["saving"] = {"save_final_model": False, "save_checkpoint": False,
                      "save_prediction": False,
                      "saving_dir": str(tmp_path / "out")}

@@ -158,6 +158,48 @@ def test_epoch_fuse_requested_without_cache_warns():
     assert trained["best_epoch"] >= 0
 
 
+def test_epoch_fuse_resume_equals_uninterrupted(tmp_path):
+    """Fused-mode resume certification (round-4 continuity item): an
+    interrupted-then-resumed FUSED run must replay the uninterrupted FUSED
+    run bit-exactly from the resume epoch. Same bar the step loop met in
+    tests/test_checkpoint.py::test_resume_equals_uninterrupted — epoch-
+    indexed shuffle + full state in the checkpoint + a deterministic fused
+    program. This is the gate for flipping ``epoch_fuse`` to ``auto``."""
+    import json
+
+    data = _slice_data()
+    datasets = _datasets(data)
+
+    def train(epochs, resume, out):
+        cfg = _cfg("true", epochs=epochs)
+        cfg["training"]["resume"] = resume
+        cfg["saving"] = {"saving_dir": str(out), "save_checkpoint": True}
+        networks = {n: build_model(mc) for n, mc in cfg["networks"].items()}
+        trainer = build_trainer(cfg["training"], None, cfg)
+        trainer.train(models=networks, datasets=datasets,
+                      trainer_config=cfg["training"], full_config=cfg)
+
+    train(5, False, tmp_path / "full")       # uninterrupted fused 0..4
+    train(2, False, tmp_path / "resumed")    # "interrupted" after epoch 1
+    train(5, True, tmp_path / "resumed")     # fused resume 2..4
+
+    def epochs_of(out):
+        rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
+        return {r["step"]: r for r in rows
+                if any(k.startswith("train/") for k in r)}
+
+    full = epochs_of(tmp_path / "full")
+    resumed = epochs_of(tmp_path / "resumed")
+    assert set(full) == set(resumed) == {0, 1, 2, 3, 4}
+    n_exact = 0
+    for e in (2, 3, 4):   # post-resume epochs must match bit-for-bit
+        for k, v in full[e].items():
+            if isinstance(v, float):
+                assert v == resumed[e][k], (e, k, v, resumed[e][k])
+                n_exact += 1
+    assert n_exact > 0
+
+
 def test_epoch_fuse_8dev_mesh_matches_loop():
     """Fused epochs under a data-sharded mesh == the step loop (the gather's
     sharding constraints mirror the DeviceBatcher's out_shardings)."""

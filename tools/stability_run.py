@@ -85,6 +85,10 @@ def main(argv=None):
     ap.add_argument("--out", default=str(REPO / "exp_results" / "stability"))
     ap.add_argument("--h", type=int, default=128)
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--epoch-fuse", action="store_true",
+                    help="certify the fused-epoch trainer: run all stages "
+                         "with training.epoch_fuse=true (resume must still "
+                         "replay bit-exactly)")
     args = ap.parse_args(argv)
 
     out = Path(args.out)
@@ -105,6 +109,8 @@ def main(argv=None):
                          "save_model_num": 3, "save_prediction": False,
                          "saving_dir": str(out / tag)}
         cfg["training"]["test"] = False
+        if args.epoch_fuse:
+            cfg["training"]["epoch_fuse"] = True
         p = out / f"cfg_{tag}.json"
         p.write_text(json.dumps(cfg, indent=1))
         return p
