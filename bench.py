@@ -48,15 +48,48 @@ STEPS = 30
 BASELINE_CACHE = REPO / "bench_baseline.json"
 
 METRIC = "joint_reg_strain_LMA_train_slices_per_sec_per_chip"
+EVAL_METRIC = "joint_reg_strain_LMA_eval_slices_per_sec_per_chip"
 _CHILD_ENV = "CARDIAX_BENCH_CHILD"
 _BACKEND_OK = "[bench-child] backend ok"
+
+# bf16 peak TFLOP/s per chip by device kind (public spec sheets); used only
+# for the honest-MFU line — unknown kinds report mfu_pct: null
+_PEAK_BF16_TFLOPS = {
+    "v5 lite": 197.0, "v5e": 197.0, "v5litepod": 197.0,
+    "v5p": 459.0, "v5": 459.0,
+    "v4": 275.0, "v3": 123.0, "v2": 46.0,
+    "v6 lite": 918.0, "v6e": 918.0, "trillium": 918.0,
+}
+
+
+def _peak_tflops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def _step_flops(step_fn, *args) -> float | None:
+    """fwd+bwd FLOPs of the compiled step from XLA's own cost analysis.
+    Conservative: Pallas custom-call FLOPs are opaque to XLA and NOT counted,
+    so the derived MFU is a lower bound (the fused EPDiff/warp kernels'
+    arithmetic is excluded)."""
+    try:
+        cost = step_fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 # --------------------------------------------------------------------------
 # child: the actual measurement (runs with jax / the TPU client)
 # --------------------------------------------------------------------------
 
-def _measure_cardiax(batch: int = BATCH) -> float:
+def _measure_cardiax(batch: int = BATCH) -> dict:
     import jax
     from cardiax.models import build_model
     from cardiax.parallel.mesh import get_mesh, shard_batch
@@ -79,6 +112,10 @@ def _measure_cardiax(batch: int = BATCH) -> float:
     arrays = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
 
     params, opt_states = trainer.params, trainer.opt_states
+    # FLOP count first (lower/compile hits the jit cache; params not yet
+    # donated-away at this point)
+    flops = _step_flops(trainer._train_step, params, opt_states, arrays)
+
     for _ in range(WARMUP):
         params, opt_states, values = trainer._train_step(params, opt_states, arrays)
     # force a real device->host fetch: on the tunneled axon platform,
@@ -92,7 +129,30 @@ def _measure_cardiax(batch: int = BATCH) -> float:
     dt = (time.perf_counter() - t0) / STEPS
     assert loss == loss, "NaN loss in benchmark step"
     n_chips = jax.device_count()
-    return batch / dt / n_chips
+
+    out = {"train_sps": batch / dt / n_chips, "step_ms": dt * 1e3,
+           "flops_per_step": flops}
+    peak = _peak_tflops(jax.devices()[0])
+    if flops:
+        out["achieved_tflops"] = flops / dt / 1e12
+        out["mfu_pct"] = (100.0 * flops / dt / 1e12 / peak) if peak else None
+
+    # inference: the same program's values-only eval step (VERDICT r4 #7 —
+    # the serving number gets the same driver verification as training).
+    # NB: trainer.params was donated away on the first train call — use the
+    # live post-training params
+    eparams = params
+    for _ in range(WARMUP):
+        evalues, _ = trainer._eval_step(eparams, arrays)
+    float(evalues["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        evalues, _ = trainer._eval_step(eparams, arrays)
+    float(evalues["total_loss"])
+    edt = (time.perf_counter() - t0) / STEPS
+    out["eval_sps"] = batch / edt / n_chips
+    out["eval_step_ms"] = edt * 1e3
+    return out
 
 
 def _baseline_slices_per_sec() -> dict:
@@ -125,7 +185,8 @@ def _child_main(batches) -> int:
         base = {"error": str(e)}
 
     for b in batches:
-        value = _measure_cardiax(batch=b)
+        m = _measure_cardiax(batch=b)
+        value = m["train_sps"]
         vs = value / base["slices_per_sec"] if base.get("slices_per_sec") else None
         line = {
             "metric": METRIC,
@@ -133,10 +194,30 @@ def _child_main(batches) -> int:
             "unit": "slices/sec/chip",
             "vs_baseline": round(vs, 4) if vs is not None else None,
         }
+        # honest-MFU fields (VERDICT r4 #6): XLA cost-analysis FLOPs of the
+        # compiled fwd+bwd step; Pallas custom-call arithmetic is opaque to
+        # XLA, so mfu_pct is a LOWER bound
+        if m.get("flops_per_step"):
+            line["flops_per_step"] = round(m["flops_per_step"])
+            line["achieved_tflops"] = round(m["achieved_tflops"], 3)
+            line["mfu_pct"] = (round(m["mfu_pct"], 2)
+                               if m.get("mfu_pct") is not None else None)
+        line["step_ms"] = round(m["step_ms"], 3)
         if b != BATCH:
             line["batch"] = b   # only sweep lines carry the extra key; the
-            # default line stays exactly the driver's one-JSON-line contract
+            # default line stays the driver's one-JSON-line contract
         print(json.dumps(line), flush=True)
+        # second line: inference/serving throughput of the eval step
+        eline = {
+            "metric": EVAL_METRIC,
+            "value": round(m["eval_sps"], 4),
+            "unit": "slices/sec/chip",
+            "vs_baseline": None,
+            "step_ms": round(m["eval_step_ms"], 3),
+        }
+        if b != BATCH:
+            eline["batch"] = b
+        print(json.dumps(eline), flush=True)
     return 0
 
 

@@ -259,7 +259,8 @@ class TrainerEngine:
         self._train_step_fn = train_step
         self._eval_step_fn = eval_step
 
-    def _build_epoch_fns(self, loader, for_eval: bool = False):
+    def _build_epoch_fns(self, loader, for_eval: bool = False,
+                         unroll_cap: int = 16):
         """One jitted program for a WHOLE epoch: ``lax.scan`` of the step
         core over the epoch's (n_steps, batch) index/mask matrices, gathering
         each batch on-device from the loader's resident dataset
@@ -284,9 +285,14 @@ class TrainerEngine:
         # Short epochs unroll fully: a rolled scan double-buffers the whole
         # params+opt-state carry every iteration (measured 0.83x vs the step
         # loop at 5 steps/epoch); straight-line code keeps the donation
-        # in-place. Long epochs keep the rolled scan (compile-size bound).
+        # in-place. Longer epochs chunk the unroll (unroll=cap) so the carry
+        # copy is amortized over `cap` straight-line steps per scan iteration
+        # while compile size stays bounded (measured vs rolled/step-loop at
+        # >cap steps: tools/probe_fuse_scale.py).
+        cap = max(1, int(unroll_cap))
+
         def _unroll(n_steps: int):
-            return True if n_steps <= 16 else 1
+            return True if n_steps <= cap else min(cap, n_steps)
 
         if for_eval:
             def epoch_eval(params, data, idx_mat, mask_mat):
@@ -575,25 +581,47 @@ class TrainerEngine:
         else:
             raise ValueError(f"training.epoch_fuse={fuse_raw!r} is not a "
                              f"recognized value; use true/false/auto")
+        # Engagement policy (ADVICE r4): in `auto` mode fusion engages only
+        # in the UNROLLED regime — epochs of <= `epoch_fuse_max_steps` steps
+        # (default 16). The rolled scan measured 0.83x vs the step loop
+        # (STATUS round 4: XLA double-buffers the whole params+opt carry per
+        # scan iteration), so `auto` never routes a long epoch into an
+        # unmeasured-or-measured-slower path; it falls back to the step
+        # loop. Explicit `true` fuses any length via a chunked unroll
+        # (unroll=cap amortizes the carry copy; tools/probe_fuse_scale.py
+        # measures all three regimes at scale).
+        fuse_cap = int(cfg.get("epoch_fuse_max_steps", 16))
         fuse_train_fn = fuse_val_fn = None
         if fuse_want and not profile_dir:
-            if getattr(train_loader, "device_resident", False):
-                fuse_train_fn = self._build_epoch_fns(train_loader)
+            train_resident = getattr(train_loader, "device_resident", False)
+            if train_resident and (fuse_force
+                                   or len(train_loader) <= fuse_cap):
+                fuse_train_fn = self._build_epoch_fns(
+                    train_loader, unroll_cap=fuse_cap)
             elif fuse_force:
                 import warnings
                 warnings.warn(
                     "epoch_fuse: requested but the train loader is not "
                     "device-resident (device_data_cache off or not "
                     "cacheable); using the step loop", RuntimeWarning)
-            if val_loader is not None and getattr(val_loader,
-                                                  "device_resident", False):
-                fuse_val_fn = self._build_epoch_fns(val_loader, for_eval=True)
+            # Val fuses ONLY when train fused (or under an explicit `true`):
+            # fused vs loop is float-reorder-different, and best-epoch
+            # selection rides val metrics — train and val must stay in ONE
+            # numerics regime regardless of which loaders happened to cache.
+            if (fuse_train_fn is not None or fuse_force) \
+                    and val_loader is not None \
+                    and getattr(val_loader, "device_resident", False):
+                fuse_val_fn = self._build_epoch_fns(
+                    val_loader, for_eval=True, unroll_cap=fuse_cap)
         elif fuse_want and profile_dir and fuse_force:
             # auto mode degrades silently; only an explicit `true` warns
             import warnings
             warnings.warn("epoch_fuse: disabled while others.profile_dir is "
                           "set (the profiler window is step-granular)",
                           RuntimeWarning)
+        # introspection hook for tests / tools: which paths actually engaged
+        self.last_fuse_engaged = (fuse_train_fn is not None,
+                                  fuse_val_fn is not None)
 
         for epoch in range(start_epoch, epochs):
             t_epoch = time.perf_counter()

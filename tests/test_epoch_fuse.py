@@ -70,18 +70,23 @@ def _datasets(data):
          for n in ("train", "val")}, splits)
 
 
-def _run(epoch_fuse, batch_size=3, mesh=None):
+def _run(epoch_fuse, batch_size=3, mesh=None, cfg_extra=None,
+         return_trainer=False):
     data = _slice_data()
     datasets = _datasets(data)
     cfg = _cfg(epoch_fuse, batch_size=batch_size)
+    if cfg_extra:
+        cfg["training"].update(cfg_extra)
     networks = {name: build_model(mc) for name, mc in cfg["networks"].items()}
     trainer = build_trainer(cfg["training"], None, cfg, mesh=mesh)
     trained, _ = trainer.train(models=networks, datasets=datasets,
                                trainer_config=cfg["training"], full_config=cfg)
+    if return_trainer:
+        return trained, trained["train_loss_dict"], trainer
     return trained, trained["train_loss_dict"]
 
 
-def _assert_same(a, b, first_tol=1e-4, tol=5e-3):
+def _assert_same(a, b, first_tol=1e-4, tol=5e-3, n_steps=6):
     """Fused vs loop is the SAME math compiled in a different fusion context
     (the scan body vs the standalone step program), so it is float-reorder
     equivalent, not bit-identical — the same equivalence class as the fused
@@ -107,7 +112,7 @@ def _assert_same(a, b, first_tol=1e-4, tol=5e-3):
     # ~lr per step apart between the variants — bound those by lr*steps and
     # cap their frequency instead of tightening atol below Adam's floor.
     n_total = n_flip = 0
-    lr_steps = 5e-4 * 6          # max lr x total optimizer steps in this run
+    lr_steps = 5e-4 * n_steps    # max lr x total optimizer steps in this run
     for la, lb in zip(flat_a, flat_b):
         la = np.asarray(la, np.float32)
         lb = np.asarray(lb, np.float32)
@@ -124,6 +129,46 @@ def test_epoch_fuse_matches_step_loop():
     fused = _run(True)
     loop = _run(False)
     _assert_same(fused, loop)
+
+
+def test_auto_engages_only_in_unrolled_regime():
+    """`auto` fuses short epochs and FALLS BACK to the step loop past
+    `epoch_fuse_max_steps` (the rolled scan measured 0.83x vs the step loop,
+    STATUS round 4 — auto must never route a long epoch into it)."""
+    # 4 items / batch 3 -> 2 steps <= 16: both train and val fuse
+    *_, tr = _run("auto", return_trainer=True)
+    assert tr.last_fuse_engaged == (True, True)
+    # 4 items / batch 1 -> 4 steps > cap 2: step loop, val NOT fused either
+    *_, tr = _run("auto", batch_size=1,
+                  cfg_extra={"epoch_fuse_max_steps": 2}, return_trainer=True)
+    assert tr.last_fuse_engaged == (False, False)
+
+
+def test_force_fuse_long_epoch_chunked_unroll_matches_loop():
+    """Explicit `true` fuses past the cap via the chunked unroll
+    (unroll=cap); the math must still match the step loop."""
+    fused = _run("true", batch_size=1, cfg_extra={"epoch_fuse_max_steps": 2})
+    loop = _run(False, batch_size=1)
+    # 3 epochs x 4 steps; 4 optimizer steps happen before the first val
+    # epoch (vs 2 in the batch-3 tests), so epoch-0 reorder drift is larger
+    _assert_same(fused, loop, n_steps=12, first_tol=1e-3)
+
+
+def test_val_fuse_gated_on_train_decision():
+    """When the train loader fails to cache (budget) but the val loader
+    caches, `auto` must NOT fuse validation: best-epoch selection rides val
+    metrics and the run must stay in one numerics regime (ADVICE r4)."""
+    data = _slice_data()
+    item0 = _datasets(data)["train"][0]
+    item_mb = sum(v.nbytes for v in item0.values()
+                  if isinstance(v, np.ndarray)) / 2 ** 20
+    # budget fits the 2-item val set but not the 4-item train set
+    # (cache mode must be "auto" too: `true` force-caches past the budget)
+    *_, tr = _run("auto",
+                  cfg_extra={"device_data_cache": "auto",
+                             "device_data_cache_budget_mb": 3 * item_mb},
+                  return_trainer=True)
+    assert tr.last_fuse_engaged == (False, False)
 
 
 def test_epoch_fuse_plan_matches_iter():
@@ -185,8 +230,15 @@ def test_epoch_fuse_resume_equals_uninterrupted(tmp_path):
 
     def epochs_of(out):
         rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
-        return {r["step"]: r for r in rows
-                if any(k.startswith("train/") for k in r)}
+        train_rows = [r for r in rows
+                      if any(k.startswith("train/") for k in r)]
+        # each epoch must appear EXACTLY once — a duplicate row (e.g. a
+        # resume re-logging a completed epoch) would be silently masked by
+        # last-row-wins dict construction and the bit-exact comparison could
+        # pass against the wrong row (ADVICE r4)
+        steps = [r["step"] for r in train_rows]
+        assert len(steps) == len(set(steps)), sorted(steps)
+        return {r["step"]: r for r in train_rows}
 
     full = epochs_of(tmp_path / "full")
     resumed = epochs_of(tmp_path / "resumed")
