@@ -260,6 +260,212 @@ def _specs(h, w):
                         memory_space=pltpu.VMEM)
 
 
+# --------------------------------------------------------------------------- #
+# Fused spectral solve: v = K m as MXU matmuls INSIDE the step kernel          #
+# --------------------------------------------------------------------------- #
+#
+# At integration-grid sizes the solve is a real-DFT matmul sandwich
+# (fluid_metric._helmholtz_mm): v = Ty^T [ (Ty m Tx^T) * W ] Tx. Keeping it
+# in XLA costs ~2 plane-sized HBM round trips per Euler step between the
+# einsum chain and this kernel (VERDICT r4 #4; lagomorph's CUDA EPDiff also
+# fuses its metric into the step). Executing the four (plane, plane) matmuls
+# on the MXU inside the kernel removes those round trips AND the per-step v
+# residual: the backward kernel recomputes v = K m from the saved m and
+# applies the self-adjoint K to g_v in-kernel (g_m += K g_v).
+#
+# Engaged only for planes with BOTH sides <= _MAX_SOLVE_SIDE (128): that is
+# the _MM_MAX_SIDE regime where the matmul form exists, it bounds the extra
+# VMEM (five (S, S) f32 bases = 320 KB at S=128), and it covers the flagship
+# (64^2 items lane-packed 2x2 into 128^2 planes, block-diagonal bases).
+
+_MAX_SOLVE_SIDE = 128
+
+
+def fused_solve_supported(h_plane: int, w_plane: int) -> bool:
+    return max(h_plane, w_plane) <= _MAX_SOLVE_SIDE
+
+
+def _solve_mm(x, ty, txT, tyT, tx, wgt):
+    """One (h, w) plane: Ty^T [ (Ty x Tx^T) * W ] Tx, all on the MXU."""
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    a = jnp.dot(ty, x, precision=hi, preferred_element_type=f32)
+    a = jnp.dot(a, txT, precision=hi, preferred_element_type=f32) * wgt
+    a = jnp.dot(tyT, a, precision=hi, preferred_element_type=f32)
+    return jnp.dot(a, tx, precision=hi, preferred_element_type=f32)
+
+
+def _fwd_solve_kernel(m_ref, u_ref, ty_ref, txT_ref, tyT_ref, tx_ref,
+                      wgt_ref, mo_ref, uo_ref, *, radius: int, dt: float,
+                      h_item: int, w_item: int):
+    h, w = m_ref.shape[-2:]
+    ii, jj = _local_iotas((h, w), h_item, w_item)
+    my_f, mx_f = m_ref[0], m_ref[1]
+    ty, txT, tyT, tx = ty_ref[...], txT_ref[...], tyT_ref[...], tx_ref[...]
+    wgt = wgt_ref[...]
+    vy = _solve_mm(my_f, ty, txT, tyT, tx, wgt)
+    vx = _solve_mm(mx_f, ty, txT, tyT, tx, wgt)
+    (dvy_dy, dvy_dx, dvx_dy, dvx_dx,
+     dmy_dy, dmy_dx, dmx_dy, dmx_dx, div) = _deriv_planes(
+        vy, vx, my_f, mx_f, ii, jj, h_item, w_item)
+    a_y = dvy_dy * my_f + dvx_dy * mx_f + dmy_dy * vy + dmy_dx * vx \
+        + my_f * div
+    a_x = dvy_dx * my_f + dvx_dx * mx_f + dmx_dy * vy + dmx_dx * vx \
+        + mx_f * div
+    mo_ref[0] = my_f - dt * a_y
+    mo_ref[1] = mx_f - dt * a_x
+    by, bx = -dt * vy, -dt * vx
+    fj, x0, x1, fx, _, _, wys, _ = _warp_weights(
+        by, bx, ii, jj, h_item, w_item, radius)
+    us = [u_ref[0], u_ref[1]]
+    accs = [jnp.zeros((h, w), jnp.float32) for _ in range(2)]
+    for e in range(-radius, radius + 1):
+        wx = _hat(fj + e, x0, x1, fx)
+        ss = [_shifted(uc, 0, e) for uc in us]
+        bs = [jnp.zeros((h, w), jnp.float32) for _ in range(2)]
+        for d in range(-radius, radius + 1):
+            wy = wys[d + radius]
+            for c in range(2):
+                bs[c] = bs[c] + wy * _shifted(ss[c], d, 0)
+        for c in range(2):
+            accs[c] = accs[c] + wx * bs[c]
+    uo_ref[0] = by + accs[0]
+    uo_ref[1] = bx + accs[1]
+
+
+def _bwd_solve_kernel(m_ref, u_ref, ty_ref, txT_ref, tyT_ref, tx_ref,
+                      wgt_ref, gmo_ref, guo_ref, gm_ref, gu_ref, *,
+                      radius: int, dt: float, h_item: int, w_item: int):
+    h, w = m_ref.shape[-2:]
+    ii, jj = _local_iotas((h, w), h_item, w_item)
+    my_f, mx_f = m_ref[0], m_ref[1]
+    ty, txT, tyT, tx = ty_ref[...], txT_ref[...], tyT_ref[...], tx_ref[...]
+    wgt = wgt_ref[...]
+    vy = _solve_mm(my_f, ty, txT, tyT, tx, wgt)   # recompute (no v residual)
+    vx = _solve_mm(mx_f, ty, txT, tyT, tx, wgt)
+    (dvy_dy, dvy_dx, dvx_dy, dvx_dx,
+     dmy_dy, dmy_dx, dmx_dy, dmx_dx, div) = _deriv_planes(
+        vy, vx, my_f, mx_f, ii, jj, h_item, w_item)
+    gmy, gmx = gmo_ref[0], gmo_ref[1]
+    guy, gux = guo_ref[0], guo_ref[1]
+
+    # --- warp adjoint (identical to _bwd_kernel) --------------------------
+    by, bx = -dt * vy, -dt * vx
+    fj, x0, x1, fx, wmy, wmx, wys, dwys = _warp_weights(
+        by, bx, ii, jj, h_item, w_item, radius)
+    us = [u_ref[0], u_ref[1]]
+    gs = [guy, gux]
+    acc_dy = jnp.zeros((h, w), jnp.float32)
+    acc_dx = jnp.zeros((h, w), jnp.float32)
+    acc_gu = [jnp.zeros((h, w), jnp.float32) for _ in range(2)]
+    for e in range(-radius, radius + 1):
+        rx = fj + e
+        wx = _hat(rx, x0, x1, fx)
+        dwx = _dhat(rx, x0, x1)
+        for c in range(2):
+            s = _shifted(us[c], 0, e)
+            a_e = gs[c] * wx
+            b_e = jnp.zeros((h, w), jnp.float32)
+            acc_v = jnp.zeros((h, w), jnp.float32)
+            acc_d = jnp.zeros((h, w), jnp.float32)
+            for d in range(-radius, radius + 1):
+                sh = _shifted(s, d, 0)
+                acc_v = acc_v + wys[d + radius] * sh
+                acc_d = acc_d + dwys[d + radius] * sh
+                b_e = b_e + _shifted(wys[d + radius] * a_e, -d, 0)
+            acc_dy = acc_dy + (wx * gs[c]) * acc_d
+            acc_dx = acc_dx + (dwx * gs[c]) * acc_v
+            acc_gu[c] = acc_gu[c] + _shifted(b_e, 0, -e)
+    gu_ref[0] = acc_gu[0]
+    gu_ref[1] = acc_gu[1]
+    g_by = guy + acc_dy * wmy
+    g_bx = gux + acc_dx * wmx
+
+    # --- ad* adjoint + the solve's self-adjoint pullback ------------------
+    a_y = -dt * gmy
+    a_x = -dt * gmx
+    gv_y = (_dyT(2.0 * a_y * my_f + a_x * mx_f, ii, h_item)
+            + _dxT(a_x * my_f, jj, w_item)
+            + a_y * dmy_dy + a_x * dmx_dy
+            - dt * g_by)
+    gv_x = (_dyT(a_y * mx_f, ii, h_item)
+            + _dxT(a_y * my_f + 2.0 * a_x * mx_f, jj, w_item)
+            + a_y * dmy_dx + a_x * dmx_dx
+            - dt * g_bx)
+    gm_y = (gmy + a_y * (dvy_dy + div) + a_x * dvy_dx
+            + _dyT(a_y * vy, ii, h_item) + _dxT(a_y * vx, jj, w_item))
+    gm_x = (gmx + a_y * dvx_dy + a_x * (dvx_dx + div)
+            + _dyT(a_x * vy, ii, h_item) + _dxT(a_x * vx, jj, w_item))
+    # v = K m with K self-adjoint: g_m += K g_v, on the MXU in-kernel
+    gm_ref[0] = gm_y + _solve_mm(gv_y, ty, txT, tyT, tx, wgt)
+    gm_ref[1] = gm_x + _solve_mm(gv_x, ty, txT, tyT, tx, wgt)
+
+
+def _mat_spec(n, k):
+    return pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def epdiff_step_solve(m, u, ty, txT, tyT, tx, wgt, dt: float, radius: int,
+                      interpret: bool, h_item: int = 0, w_item: int = 0):
+    """One fused Euler step INCLUDING the spectral solve:
+
+        v = Ty^T [ (Ty m Tx^T) * W ] Tx   (in-kernel MXU matmuls)
+        m' = m - dt * ad*_v m
+        u' = -dt*v + warp(u, -dt*v)
+
+    (ty, txT, tyT, tx, wgt) come from ``fluid_metric.solve_mm_operands``
+    (block-diagonal when the plane is lane-packed). Gradients to the basis
+    operands are zero (they are precomputed constants)."""
+    n, _, h, w = m.shape
+    spec = _specs(h, w)
+    f32 = jnp.float32
+    kern = functools.partial(_fwd_solve_kernel, radius=radius, dt=float(dt),
+                             h_item=h_item or h, w_item=w_item or w)
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[spec, spec, _mat_spec(h, h), _mat_spec(w, w),
+                  _mat_spec(h, h), _mat_spec(w, w), _mat_spec(h, w)],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct(m.shape, f32),) * 2,
+        interpret=interpret,
+    )(m.astype(f32), u.astype(f32), ty, txT, tyT, tx, wgt)
+
+
+def _step_solve_fwd(m, u, ty, txT, tyT, tx, wgt, dt, radius, interpret,
+                    h_item=0, w_item=0):
+    out = epdiff_step_solve(m, u, ty, txT, tyT, tx, wgt, dt, radius,
+                            interpret, h_item, w_item)
+    return out, (m, u, ty, txT, tyT, tx, wgt)
+
+
+def _step_solve_bwd(dt, radius, interpret, h_item, w_item, res, cot):
+    m, u, ty, txT, tyT, tx, wgt = res
+    gmo, guo = cot
+    n, _, h, w = m.shape
+    spec = _specs(h, w)
+    f32 = jnp.float32
+    kern = functools.partial(_bwd_solve_kernel, radius=radius, dt=float(dt),
+                             h_item=h_item or h, w_item=w_item or w)
+    gm, gu = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[spec, spec, _mat_spec(h, h), _mat_spec(w, w),
+                  _mat_spec(h, h), _mat_spec(w, w), _mat_spec(h, w),
+                  spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct(m.shape, f32),) * 2,
+        interpret=interpret,
+    )(m.astype(f32), u.astype(f32), ty, txT, tyT, tx, wgt,
+      gmo.astype(f32), guo.astype(f32))
+    zeros = tuple(jnp.zeros_like(b) for b in (ty, txT, tyT, tx, wgt))
+    return (gm.astype(m.dtype), gu.astype(u.dtype)) + zeros
+
+
+epdiff_step_solve.defvjp(_step_solve_fwd, _step_solve_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def epdiff_step(v, m, u, dt: float, radius: int, interpret: bool,
                 h_item: int = 0, w_item: int = 0):

@@ -108,6 +108,20 @@ def _helmholtz_mm_weights_packed(h_item: int, w_item: int, pr: int, pc: int,
     return ty2, tx2, np.tile(wgt, (pr, pc))
 
 
+def solve_mm_operands(h_item: int, w_item: int, pr: int = 1, pc: int = 1,
+                      alpha: float = 2.0, gamma: float = 1.0,
+                      power: int = 2):
+    """(ty, txT, tyT, tx, wgt) jnp operands of the matmul-form solve
+    v = Ty^T [ (Ty m Tx^T) * W ] Tx for a (pr*h_item, pc*w_item) plane
+    (block-diagonal when lane-packed) — consumed by the fused-solve EPDiff
+    kernel (`epdiff_pallas.epdiff_step_solve`), which executes the four
+    matmuls on the MXU inside the step kernel."""
+    ty, tx, wgt = _helmholtz_mm_weights_packed(
+        h_item, w_item, pr, pc, float(alpha), float(gamma), int(power), True)
+    return (jnp.asarray(ty), jnp.asarray(tx.T), jnp.asarray(ty.T),
+            jnp.asarray(tx), jnp.asarray(wgt))
+
+
 def sharp_packed(x: jnp.ndarray, h_item: int, w_item: int,
                  alpha: float = 2.0, gamma: float = 1.0,
                  power: int = 2) -> jnp.ndarray:

@@ -36,6 +36,13 @@ from cardiax.ops.warp_pallas import bilinear_warp_banded_multi
 # run in interpret mode) so the pack/pad/fused integration path has CPU
 # coverage; None = use it exactly when the backend is TPU.
 _FORCE_FUSED: bool | None = None
+# Fused in-kernel spectral solve (epdiff_step_solve): MEASURED OUT on v5e
+# (tools/probe_solve.py round 5: fused/xla full-step ratio 1.001-1.004 at
+# b10/b20/b40 — XLA already overlaps the einsum solve's HBM traffic with
+# the kernels, and Mosaic's f32 matmul gives the saving back). Kept as a
+# tested opt-in (set True to force; parity pinned in tests/test_ops.py);
+# None/False = the shipped separate-XLA-solve lowering.
+_FUSED_SOLVE: bool | None = None
 
 
 def _grad_hw(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -189,10 +196,20 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
                 "banded/tiled kernels individually")
 
     if use_fused:
-        from cardiax.ops.fluid_metric import sharp_packed
+        from cardiax.ops.epdiff_pallas import (epdiff_step_solve,
+                                               fused_solve_supported)
+        from cardiax.ops.fluid_metric import sharp_packed, solve_mm_operands
         n_items = m0.shape[0]
         pr, pc, n_pad = pack_plan(n_items, h_full, w_full)
         packed = (pr, pc) != (1, 1)
+        interp = not on_tpu            # off-TPU only via the test hook
+        # Optional: fold the spectral solve v = K m into the step kernel as
+        # MXU matmuls (VERDICT r4 #4; parity pinned in tests/test_ops.py::
+        # TestFusedSolveEPDiffStep). Measured perf-NEUTRAL on v5e (see
+        # _FUSED_SOLVE above), so it ships OFF; forcing True requires the
+        # plane to fit the matmul-solve regime.
+        use_solve = bool(_FUSED_SOLVE) and fused_solve_supported(
+            pr * h_full, pc * w_full)
         if n_pad:
             pad = [(0, n_pad)] + [(0, 0)] * (m0.ndim - 1)
             m, v_first = jnp.pad(m0, pad), jnp.pad(v0, pad)
@@ -201,21 +218,30 @@ def expmap_shooting(m0: jnp.ndarray, alpha: float = 2.0, gamma: float = 1.0,
         if packed:
             m, v_first = pack_items(m, pr, pc), pack_items(v_first, pr, pc)
         u_inv = jnp.zeros_like(m)
-        for t in range(n_steps):
-            if t == 0:
-                v = v_first     # sharp(m0) is exactly v0 — reuse the solve
-            elif packed:
-                v = sharp_packed(m, h_full, w_full, alpha, gamma, power)
-            else:
-                v = sharp(m, alpha, gamma, power)
-            interp = not on_tpu        # off-TPU only via the test hook
+        if use_solve:
+            ops = solve_mm_operands(h_full, w_full, pr, pc, alpha, gamma,
+                                    power)
+            step_t = lambda mm, uu: epdiff_step_solve(  # noqa: E731
+                mm, uu, *ops, dt, step_radius, interp, h_full, w_full)
             if remat:
-                step_t = jax.checkpoint(lambda vv, mm, uu: epdiff_step(
-                    vv, mm, uu, dt, step_radius, interp, h_full, w_full))
-                m, u_inv = step_t(v, m, u_inv)
-            else:
-                m, u_inv = epdiff_step(v, m, u_inv, dt, step_radius, interp,
-                                       h_full, w_full)
+                step_t = jax.checkpoint(step_t)
+            for t in range(n_steps):
+                m, u_inv = step_t(m, u_inv)
+        else:
+            for t in range(n_steps):
+                if t == 0:
+                    v = v_first   # sharp(m0) is exactly v0 — reuse the solve
+                elif packed:
+                    v = sharp_packed(m, h_full, w_full, alpha, gamma, power)
+                else:
+                    v = sharp(m, alpha, gamma, power)
+                if remat:
+                    step_t = jax.checkpoint(lambda vv, mm, uu: epdiff_step(
+                        vv, mm, uu, dt, step_radius, interp, h_full, w_full))
+                    m, u_inv = step_t(v, m, u_inv)
+                else:
+                    m, u_inv = epdiff_step(v, m, u_inv, dt, step_radius,
+                                           interp, h_full, w_full)
         if packed:
             u_inv = unpack_items(u_inv, pr, pc)
         if n_pad:

@@ -285,14 +285,16 @@ class TrainerEngine:
         # Short epochs unroll fully: a rolled scan double-buffers the whole
         # params+opt-state carry every iteration (measured 0.83x vs the step
         # loop at 5 steps/epoch); straight-line code keeps the donation
-        # in-place. Longer epochs chunk the unroll (unroll=cap) so the carry
-        # copy is amortized over `cap` straight-line steps per scan iteration
-        # while compile size stays bounded (measured vs rolled/step-loop at
-        # >cap steps: tools/probe_fuse_scale.py).
+        # in-place. Long epochs keep the ROLLED scan: measured at 36
+        # steps/epoch on v5e (tools/probe_fuse_scale.py round 5,
+        # exp_results/fuse_scale.json) rolled = 0.247 s/epoch = 1.82x the
+        # step loop AND faster than chunked (unroll=8/16: 0.257/0.260) and
+        # fully-unrolled (0.258) with 4-8x less compile time — the carry
+        # copy amortizes over the long epoch while dispatch savings dominate.
         cap = max(1, int(unroll_cap))
 
         def _unroll(n_steps: int):
-            return True if n_steps <= cap else min(cap, n_steps)
+            return True if n_steps <= cap else 1
 
         if for_eval:
             def epoch_eval(params, data, idx_mat, mask_mat):
@@ -316,6 +318,55 @@ class TrainerEngine:
                 unroll=_unroll(idx_mat.shape[0]))
             return params, opt_states, stacked
         return jax.jit(epoch_train, donate_argnums=(0, 1))
+
+    def _build_epoch_trainval_fn(self, train_loader, val_loader,
+                                 unroll_cap: int = 16):
+        """Train epoch + validation epoch as ONE jitted program -> ONE
+        dispatch and ONE bulk metric sync per epoch. On the tunneled TPU a
+        dispatch costs a host round trip (STATUS round 4 measured ~tens of
+        ms for even a tiny op), so at valid_period 1 the separate val
+        dispatch+sync is a fixed per-epoch tax this program deletes. The val
+        scan consumes the POST-epoch params — identical semantics to the
+        separate val program."""
+        out_sh_t = getattr(train_loader, "_out_sh", None)
+        out_sh_v = getattr(val_loader, "_out_sh", None)
+        train_step = self._train_step_fn
+        eval_step = self._eval_step_fn
+        cap = max(1, int(unroll_cap))
+
+        def gather(data, idx, mask, out_sh):
+            arrays = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            arrays["sample_mask"] = mask
+            if out_sh is not None:
+                arrays = {k: (jax.lax.with_sharding_constraint(v, out_sh[k])
+                              if k in out_sh else v)
+                          for k, v in arrays.items()}
+            return arrays
+
+        def _unroll(n_steps: int):
+            return True if n_steps <= cap else 1
+
+        def epoch_train_val(params, opt_states, data, idx_mat, mask_mat,
+                            vdata, vidx_mat, vmask_mat):
+            def body(carry, xs):
+                p, s = carry
+                idx, mask = xs
+                p, s, values = train_step(p, s, gather(data, idx, mask,
+                                                       out_sh_t))
+                return (p, s), values
+            (params, opt_states), stacked = jax.lax.scan(
+                body, (params, opt_states), (idx_mat, mask_mat),
+                unroll=_unroll(idx_mat.shape[0]))
+
+            def vbody(carry, xs):
+                idx, mask = xs
+                values, _ = eval_step(params, gather(vdata, idx, mask,
+                                                     out_sh_v))
+                return carry, values      # preds dropped -> DCE'd
+            _, vstacked = jax.lax.scan(vbody, None, (vidx_mat, vmask_mat),
+                                       unroll=_unroll(vidx_mat.shape[0]))
+            return params, opt_states, stacked, vstacked
+        return jax.jit(epoch_train_val, donate_argnums=(0, 1))
 
     # ---- setup -------------------------------------------------------------- #
     def setup(self, models: Dict[str, Any], example_batch: Dict[str, Any],
@@ -559,6 +610,15 @@ class TrainerEngine:
         # default: the extra key would break bit-equality row comparisons
         # (tools/stability_run.py) and it is only meaningful for benchmarking.
         log_wall = bool(cfg.get("log_epoch_walltime", False))
+        # Opt-in host-phase attribution (training.host_profile): per-epoch
+        # perf_counter stamps of every host-side segment of the fused-epoch
+        # loop (plan build, dispatch, metric sync, val, tracker IO,
+        # best/ckpt), collected on self.host_profile_rows for
+        # tools/profile_epoch_host.py — the evidence basis for attacking the
+        # wall-vs-device-step gap (VERDICT r4 #3).
+        host_profile = bool(cfg.get("host_profile", False))
+        host_rows: List[Dict[str, float]] = []
+        self.host_profile_rows = host_rows
 
         # ---- fused-epoch programs (training.epoch_fuse, default 'auto'):
         # one jitted lax.scan per epoch over the DeviceBatcher's index
@@ -581,21 +641,19 @@ class TrainerEngine:
         else:
             raise ValueError(f"training.epoch_fuse={fuse_raw!r} is not a "
                              f"recognized value; use true/false/auto")
-        # Engagement policy (ADVICE r4): in `auto` mode fusion engages only
-        # in the UNROLLED regime — epochs of <= `epoch_fuse_max_steps` steps
-        # (default 16). The rolled scan measured 0.83x vs the step loop
-        # (STATUS round 4: XLA double-buffers the whole params+opt carry per
-        # scan iteration), so `auto` never routes a long epoch into an
-        # unmeasured-or-measured-slower path; it falls back to the step
-        # loop. Explicit `true` fuses any length via a chunked unroll
-        # (unroll=cap amortizes the carry copy; tools/probe_fuse_scale.py
-        # measures all three regimes at scale).
+        # Engagement policy: `auto` fuses whenever the train loader is
+        # device-resident, at ANY epoch length — both regimes are measured
+        # on TPU: unrolled (<= `epoch_fuse_max_steps` steps, default 16) won
+        # 0.155 vs 0.166 s/epoch at 5 steps (STATUS round 4), and the rolled
+        # scan won 1.82x over the step loop at 36 steps/epoch (round 5,
+        # tools/probe_fuse_scale.py — the round-4 "rolled loses 17%" result
+        # holds only at ~5 steps, where the carry double-buffering is not
+        # amortized; `_build_epoch_fns._unroll` picks the regime).
         fuse_cap = int(cfg.get("epoch_fuse_max_steps", 16))
         fuse_train_fn = fuse_val_fn = None
         if fuse_want and not profile_dir:
             train_resident = getattr(train_loader, "device_resident", False)
-            if train_resident and (fuse_force
-                                   or len(train_loader) <= fuse_cap):
+            if train_resident:
                 fuse_train_fn = self._build_epoch_fns(
                     train_loader, unroll_cap=fuse_cap)
             elif fuse_force:
@@ -613,6 +671,13 @@ class TrainerEngine:
                     and getattr(val_loader, "device_resident", False):
                 fuse_val_fn = self._build_epoch_fns(
                     val_loader, for_eval=True, unroll_cap=fuse_cap)
+        # train+val as ONE dispatch (jit compiles lazily, so on a
+        # valid_period-1 run the separate train-only/val-only programs above
+        # never compile — they serve the epochs where val is skipped)
+        fuse_trainval_fn = None
+        if fuse_train_fn is not None and fuse_val_fn is not None:
+            fuse_trainval_fn = self._build_epoch_trainval_fn(
+                train_loader, val_loader, unroll_cap=fuse_cap)
         elif fuse_want and profile_dir and fuse_force:
             # auto mode degrades silently; only an explicit `true` warns
             import warnings
@@ -625,6 +690,7 @@ class TrainerEngine:
 
         for epoch in range(start_epoch, epochs):
             t_epoch = time.perf_counter()
+            ht = {} if host_profile else None
             # epoch-indexed shuffle: a resumed run replays the uninterrupted
             # run's epoch-k..N data stream exactly (loader.epoch_permutation)
             if hasattr(train_loader, "set_epoch"):
@@ -638,15 +704,41 @@ class TrainerEngine:
             # serializes the loop against the device and forfeits JAX's async
             # dispatch. Deferring costs only a list of tiny DeviceArrays.
             step_values: List[Dict[str, Any]] = []
+            run_val_now = val_loader is not None and (
+                epoch % valid_period == 0 or epoch == epochs - 1)
+            pending_vsynced = None   # val metrics from the combined dispatch
             if fuse_train_fn is not None:
-                # whole epoch in ONE dispatch; metrics come back stacked
+                t0 = time.perf_counter()
                 idx_mat, mask_mat = train_loader.epoch_plan()
-                self.params, self.opt_states, stacked = fuse_train_fn(
-                    self.params, self.opt_states, train_loader._data,
-                    idx_mat, mask_mat)
+                if ht is not None:
+                    ht["plan"] = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                if fuse_trainval_fn is not None and run_val_now:
+                    # train epoch + val epoch: ONE dispatch, ONE bulk sync
+                    vidx_mat, vmask_mat = val_loader.epoch_plan()
+                    (self.params, self.opt_states, stacked,
+                     vstacked) = fuse_trainval_fn(
+                        self.params, self.opt_states, train_loader._data,
+                        idx_mat, mask_mat, val_loader._data,
+                        vidx_mat, vmask_mat)
+                    if ht is not None:
+                        ht["dispatch"] = time.perf_counter() - t0
+                        t0 = time.perf_counter()
+                    synced, pending_vsynced = jax.device_get(
+                        (stacked, vstacked))
+                else:
+                    # whole train epoch in ONE dispatch; metrics come stacked
+                    self.params, self.opt_states, stacked = fuse_train_fn(
+                        self.params, self.opt_states, train_loader._data,
+                        idx_mat, mask_mat)
+                    if ht is not None:
+                        ht["dispatch"] = time.perf_counter() - t0
+                        t0 = time.perf_counter()
+                    synced = jax.device_get(stacked)
+                if ht is not None:
+                    ht["sync"] = time.perf_counter() - t0
                 n_batches = int(idx_mat.shape[0])
                 global_step += n_batches
-                synced = jax.device_get(stacked)
                 step_values = [{k: v[i] for k, v in synced.items()}
                                for i in range(n_batches)]
                 if spot_every and step_values and not np.isfinite(
@@ -704,12 +796,18 @@ class TrainerEngine:
 
             # ---- val ----
             epoch_total_val = None
-            if val_loader is not None and (epoch % valid_period == 0
-                                           or epoch == epochs - 1):
+            if run_val_now:
+                t_val = time.perf_counter()
                 vaccum: Dict[str, float] = {}
                 nv = 0
                 val_values: List[Dict[str, Any]] = []
-                if fuse_val_fn is not None:
+                if pending_vsynced is not None:
+                    # already computed inside the combined train+val dispatch
+                    nv = int(next(iter(pending_vsynced.values())).shape[0])
+                    val_values = [{k: v[i]
+                                   for k, v in pending_vsynced.items()}
+                                  for i in range(nv)]
+                elif fuse_val_fn is not None:
                     vidx, vmask = val_loader.epoch_plan()
                     vstacked = fuse_val_fn(self.params, val_loader._data,
                                            vidx, vmask)
@@ -717,7 +815,9 @@ class TrainerEngine:
                     vsynced = jax.device_get(vstacked)
                     val_values = [{k: v[i] for k, v in vsynced.items()}
                                   for i in range(nv)]
-                for batch in (() if fuse_val_fn is not None else val_loader):
+                _val_fused = pending_vsynced is not None \
+                    or fuse_val_fn is not None
+                for batch in (() if _val_fused else val_loader):
                     arrays = shard_batch(batch, self.mesh)
                     arrays = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
                     values, _ = self._eval_step(self.params, arrays)
@@ -729,12 +829,17 @@ class TrainerEngine:
                 for k, v in vaccum.items():
                     epoch_metrics[f"{prefix}val/{k}"] = v / max(1, nv)
                 epoch_total_val = epoch_metrics.get(f"{prefix}val/total_loss")
+                if ht is not None:
+                    ht["val"] = time.perf_counter() - t_val
 
             if log_wall:
                 epoch_metrics[f"{prefix}time/epoch_wall_s"] = (
                     time.perf_counter() - t_epoch)
+            t_track = time.perf_counter()
             tracker.log(epoch_metrics, step=epoch)
             history.append(dict(epoch_metrics))
+            if ht is not None:
+                ht["track"] = time.perf_counter() - t_track
 
             # ---- periodic visualization (fraction-of-epochs interval) ----
             if vis_every and epoch % vis_every == 0 and val_loader is not None:
@@ -771,6 +876,7 @@ class TrainerEngine:
             else:
                 monitor = epoch_metrics.get(f"{prefix}train/total_loss", float("inf"))
             stop = False
+            t_best = time.perf_counter()
             if monitor is not None:     # None: no early-stop signal (skipped val)
                 if monitor < best_val:
                     best_val = monitor
@@ -781,6 +887,9 @@ class TrainerEngine:
                 else:
                     epochs_without_improvement += 1
                     stop = epochs_without_improvement > tolerance
+            if ht is not None:
+                ht["beststop"] = time.perf_counter() - t_best
+                t_ckpt = time.perf_counter()
 
             # checkpoint AFTER the early-stop update, so the saved counters
             # reflect this epoch's decision and resume is state-exact
@@ -795,6 +904,10 @@ class TrainerEngine:
                     import json as _json
                     best_metrics_path.write_text(
                         _json.dumps(best_epoch_metrics))
+            if ht is not None:
+                ht["ckpt"] = time.perf_counter() - t_ckpt
+                ht["total"] = time.perf_counter() - t_epoch
+                host_rows.append(ht)
             if stop:
                 break
 

@@ -131,22 +131,23 @@ def test_epoch_fuse_matches_step_loop():
     _assert_same(fused, loop)
 
 
-def test_auto_engages_only_in_unrolled_regime():
-    """`auto` fuses short epochs and FALLS BACK to the step loop past
-    `epoch_fuse_max_steps` (the rolled scan measured 0.83x vs the step loop,
-    STATUS round 4 — auto must never route a long epoch into it)."""
-    # 4 items / batch 3 -> 2 steps <= 16: both train and val fuse
+def test_auto_engages_at_any_epoch_length():
+    """`auto` fuses short AND long epochs — both regimes are TPU-measured
+    (round 4: unrolled wins at 5 steps; round 5 probe_fuse_scale: the rolled
+    scan wins 1.82x over the step loop at 36 steps/epoch)."""
+    # 4 items / batch 3 -> 2 steps <= 16: both train and val fuse (unrolled)
     *_, tr = _run("auto", return_trainer=True)
     assert tr.last_fuse_engaged == (True, True)
-    # 4 items / batch 1 -> 4 steps > cap 2: step loop, val NOT fused either
+    # 4 items / batch 1 -> 4 steps > cap 2: still fused (rolled regime)
     *_, tr = _run("auto", batch_size=1,
                   cfg_extra={"epoch_fuse_max_steps": 2}, return_trainer=True)
-    assert tr.last_fuse_engaged == (False, False)
+    assert tr.last_fuse_engaged == (True, True)
 
 
-def test_force_fuse_long_epoch_chunked_unroll_matches_loop():
-    """Explicit `true` fuses past the cap via the chunked unroll
-    (unroll=cap); the math must still match the step loop."""
+def test_fused_rolled_regime_matches_loop():
+    """Epochs past `epoch_fuse_max_steps` run the ROLLED scan (the regime
+    probe_fuse_scale measured fastest at 36 steps); math must match the
+    step loop."""
     fused = _run("true", batch_size=1, cfg_extra={"epoch_fuse_max_steps": 2})
     loop = _run(False, batch_size=1)
     # 3 epochs x 4 steps; 4 optimizer steps happen before the first val

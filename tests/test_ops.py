@@ -438,6 +438,68 @@ class TestFusedEPDiffStep:
                                    atol=2e-3, rtol=2e-3)
 
 
+class TestFusedSolveEPDiffStep:
+    """Fused-solve step kernel (spectral solve v = K m as in-kernel MXU
+    matmuls + the fused pointwise core, VERDICT r4 #4) vs the composite
+    (sharp -> epdiff_step_reference) path, interpret mode on CPU."""
+
+    def _data(self, n=2, h=24, w=24, seed=0, scale=3.0):
+        rng = np.random.default_rng(seed)
+        sm = lambda s: ndimage.gaussian_filter(  # noqa: E731
+            rng.normal(size=(n, 2, h, w)), 2.5).astype(np.float32) * s
+        return jnp.asarray(sm(scale)), jnp.asarray(sm(1.0))
+
+    def test_forward_matches_composite(self):
+        from cardiax.ops.epdiff_pallas import (epdiff_step_reference,
+                                               epdiff_step_solve)
+        from cardiax.ops.fluid_metric import solve_mm_operands
+        m, u = self._data()
+        ops = solve_mm_operands(24, 24)
+        v = sharp(m)
+        mr, ur = epdiff_step_reference(v, m, u, 0.2)
+        mk, uk = epdiff_step_solve(m, u, *ops, 0.2, 3, True)
+        np.testing.assert_allclose(np.asarray(mk), np.asarray(mr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(uk), np.asarray(ur), atol=1e-5)
+
+    def test_gradients_match_composite(self):
+        from cardiax.ops.epdiff_pallas import (epdiff_step_reference,
+                                               epdiff_step_solve)
+        from cardiax.ops.fluid_metric import solve_mm_operands
+        m, u = self._data(seed=1)
+        ops = solve_mm_operands(24, 24)
+        wy = jnp.asarray(np.random.default_rng(9).normal(
+            size=m.shape).astype(np.float32))
+
+        def loss_ref(m, u):
+            mn, un = epdiff_step_reference(sharp(m), m, u, 0.2)
+            return jnp.sum(mn * wy) + jnp.sum(un ** 2)
+
+        def loss_ker(m, u):
+            mn, un = epdiff_step_solve(m, u, *ops, 0.2, 3, True)
+            return jnp.sum(mn * wy) + jnp.sum(un ** 2)
+
+        for arg in (0, 1):
+            g_ref = jax.grad(loss_ref, arg)(m, u)
+            g_ker = jax.grad(loss_ker, arg)(m, u)
+            np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_packed_matches_unpacked(self):
+        from cardiax.ops.epdiff_pallas import (epdiff_step_solve, pack_items,
+                                               unpack_items)
+        from cardiax.ops.fluid_metric import solve_mm_operands
+        m, u = self._data(n=8, h=16, w=16, seed=2)
+        ops1 = solve_mm_operands(16, 16)
+        mr, ur = epdiff_step_solve(m, u, *ops1, 0.2, 3, True)
+        ops4 = solve_mm_operands(16, 16, 2, 2)
+        mp, up = (pack_items(a, 2, 2) for a in (m, u))
+        mk, uk = epdiff_step_solve(mp, up, *ops4, 0.2, 3, True, 16, 16)
+        np.testing.assert_allclose(np.asarray(unpack_items(mk, 2, 2)),
+                                   np.asarray(mr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(unpack_items(uk, 2, 2)),
+                                   np.asarray(ur), atol=1e-5)
+
+
 class TestPackedEPDiff:
     """Lane-packed item grids: packed kernels/solves == per-item results."""
 
@@ -503,7 +565,11 @@ class TestFusedShootingIntegration:
     kernels, interpret mode) vs the exact gather scan — the code path the TPU
     runs, driven on CPU via the shooting._FORCE_FUSED test hook."""
 
-    def test_fused_scan_matches_gather_including_pad(self, monkeypatch):
+    @pytest.mark.parametrize("fused_solve", [True, False])
+    def test_fused_scan_matches_gather_including_pad(self, monkeypatch,
+                                                     fused_solve):
+        # fused_solve=True: the shipping path — the spectral solve runs as
+        # MXU matmuls INSIDE the step kernel; False: the separate XLA solve
         import cardiax.ops.shooting as sh
         rng = np.random.default_rng(5)
         # batch 5: pack_plan pads to a multiple of pr*pc
@@ -511,6 +577,7 @@ class TestFusedShootingIntegration:
             rng.normal(size=(5, 2, H, W)), 4.0).astype(np.float32) * 20.0)
         u_ref, v_ref = expmap_shooting(m0, n_steps=3, warp_radius=None)
         monkeypatch.setattr(sh, "_FORCE_FUSED", True)
+        monkeypatch.setattr(sh, "_FUSED_SOLVE", fused_solve)
         u_fused, v_fused = expmap_shooting(m0, n_steps=3, warp_radius=8)
         np.testing.assert_allclose(np.asarray(u_fused), np.asarray(u_ref),
                                    atol=1e-4)
