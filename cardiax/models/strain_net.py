@@ -92,6 +92,29 @@ class SpatioTemporalBlock(nn.Module):
             z = (jnp.einsum("bthwc,tcsf->bshwf", y, a)
                  + bias.astype(y.dtype))
             return nn.gelu(z + y)
+        if self.tmix == "shiftflat":
+            # Temporal mix on the FOLDED (B*T, H, W, ·) layout: one C->3F
+            # matmul + major-axis shifts with per-frame edge masks. No 5-D
+            # einsum => no transposed layouts for XLA to materialize — every
+            # reshape in the block merges/splits LEADING dims only (bitcast).
+            # Math and params identical to 'shift'/'bandmm' (z_t = W_p
+            # y_{t-1} + W_y y_t + W_n y_{t+1}, edges replicated); built for
+            # the b40 regime where the bandmm einsum's layout copies cost
+            # ~2.4 ms/step (STATUS round-4 profile).
+            k2 = kernel.reshape(3, f, f).transpose(1, 0, 2).reshape(f, 3 * f)
+            yf = y.reshape(b * t, h2, w2, f)              # leading-dim merge
+            mm = yf @ k2.astype(y.dtype)                  # (B*T, H, W, 3F)
+            m_p, m_y, m_n = mm[..., :f], mm[..., f:2 * f], mm[..., 2 * f:]
+            ti = jnp.arange(b * t, dtype=jnp.int32) % t
+            first = (ti == 0)[:, None, None, None]
+            last = (ti == t - 1)[:, None, None, None]
+            # row n-1 is frame t-1 of the same item except at t==0, where the
+            # edge replicates (the where overrides the cross-item leak)
+            sh_p = jnp.concatenate([m_p[:1], m_p[:-1]], axis=0)
+            sh_n = jnp.concatenate([m_n[1:], m_n[-1:]], axis=0)
+            z = (jnp.where(first, m_p, sh_p) + m_y
+                 + jnp.where(last, m_n, sh_n) + bias.astype(y.dtype))
+            return nn.gelu(z + yf).reshape(b, t, h2, w2, f)
         k3 = kernel.reshape(3, f, f).transpose(1, 0, 2).astype(y.dtype)
         m = jnp.einsum("bthwc,ckf->bthwkf", y, k3)
         m_p, m_y, m_n = m[..., 0, :], m[..., 1, :], m[..., 2, :]

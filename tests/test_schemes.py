@@ -379,11 +379,14 @@ def test_temporal_mix_matches_dense_concat():
                                atol=2e-2, rtol=2e-2)
 
 
-def test_temporal_mix_bandmm_matches_shift():
-    """tmix='bandmm' (banded T-matmul lowering) == tmix='shift' (concat
-    shift-adds) on the SAME params — fwd and param grads. The two are the
-    same math; bandmm exists because at b40 XLA materializes the shift
-    concats as standalone copies (STATUS round-4 b40 analysis)."""
+@pytest.mark.parametrize("variant", ["bandmm", "shiftflat"])
+def test_temporal_mix_lowerings_match_shift(variant):
+    """tmix='bandmm' (banded T-matmul) and tmix='shiftflat' (folded-layout
+    masked major-axis shifts, round 5) == tmix='shift' (concat shift-adds)
+    on the SAME params — fwd and param grads. All three are the same math;
+    the lowerings exist because at b40 XLA materializes the shift concats /
+    the bandmm einsum's layout copies as standalone data-formatting ops
+    (STATUS round-4 b40 analysis, VERDICT r4 #5)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -392,7 +395,7 @@ def test_temporal_mix_bandmm_matches_shift():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(2, 7, 8, 8, 6)).astype(np.float32))
     blk_s = SpatioTemporalBlock(features=6, tmix="shift")
-    blk_b = SpatioTemporalBlock(features=6, tmix="bandmm")
+    blk_b = SpatioTemporalBlock(features=6, tmix=variant)
     params = jax.jit(blk_s.init)(jax.random.PRNGKey(0), x)
     # identical param trees: bandmm reuses mix_kernel/mix_bias verbatim
     assert jax.tree_util.tree_structure(jax.jit(blk_b.init)(

@@ -68,11 +68,13 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[20, 40])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--modes", nargs="+", default=["shift", "bandmm"],
+                    help="tmix lowerings to A/B (shift / bandmm / shiftflat)")
     args = ap.parse_args(argv)
 
     rows = []
     for batch in args.batches:
-        for tmix in ("shift", "bandmm"):
+        for tmix in args.modes:
             dt = bench_mode(tmix, batch, args.steps)
             rows.append((batch, tmix, dt))
             print(f"batch {batch:3d} tmix={tmix:7s}: {dt * 1e3:7.2f} ms/step "
@@ -80,9 +82,11 @@ def main(argv=None) -> None:
     print("\nsummary:")
     for batch in args.batches:
         by = {t: dt for b, t, dt in rows if b == batch}
-        if len(by) == 2:
-            print(f"  b{batch}: bandmm/shift step-time ratio "
-                  f"{by['bandmm'] / by['shift']:.3f}")
+        base = args.modes[0]
+        for mode in args.modes[1:]:
+            if base in by and mode in by:
+                print(f"  b{batch}: {mode}/{base} step-time ratio "
+                      f"{by[mode] / by[base]:.3f}")
 
 
 if __name__ == "__main__":
