@@ -2,7 +2,7 @@
 to tmix='bandmm' (see cardiax/models/strain_net.py).
 
 bandmm is the SAME math on the SAME params as 'shift' (parity pinned fwd+grad
-in tests/test_schemes.py::test_temporal_mix_bandmm_matches_shift); only the
+in tests/test_schemes.py::test_temporal_mix_lowerings_match_shift); only the
 bf16 accumulation order differs. This driver runs same-seed full training
 arms anyway — the same evidence bar every earlier lowering change met (the
 round-3 einsum reorder, the fused EPDiff kernel) — so the default flip is
