@@ -97,7 +97,7 @@ def _build_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
     module = NetDisplacement2StrainMat(
         n_sectors=int(cfg.get("n_sectors", 126)),
         features=int(cfg.get("features", 16)),
-        tmix=str(cfg.get("strain_tmix", "bandmm")),
+        tmix=str(cfg.get("strain_tmix", "shiftflat")),
     )
     return ModelBundle(module=module, config=dict(cfg))
 
@@ -118,7 +118,7 @@ def _build_joint_register_strainmat(cfg: Dict[str, Any]) -> ModelBundle:
         shoot_downsample=int(cfg.get("shoot_downsample", 2)),
         reg_half_res=bool(cfg.get("reg_half_res", True)),
         strain_downsample=int(cfg.get("strain_downsample", 2)),
-        strain_tmix=str(cfg.get("strain_tmix", "bandmm")),
+        strain_tmix=str(cfg.get("strain_tmix", "shiftflat")),
         final_warp_radius=int(cfg.get("final_warp_radius", 12)),
         exact_warp=bool(cfg.get("exact_warp", False)),
         channel_pack=_coerce_pack(cfg.get("channel_pack", False)),

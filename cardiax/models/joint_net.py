@@ -56,9 +56,10 @@ class JointRegisterStrainMatNet(nn.Module):
     strain_downsample: int = 2
     final_warp_radius: int = 12
     strain_features: int = 16
-    # temporal-mix lowering in the strain head ("shift" | "bandmm");
-    # identical math and params — see strain_net.SpatioTemporalBlock
-    strain_tmix: str = "bandmm"
+    # temporal-mix lowering in the strain head ("shift" | "bandmm" |
+    # "shiftflat"); identical math and params — see
+    # strain_net.SpatioTemporalBlock for the measured A/B
+    strain_tmix: str = "shiftflat"
     # exact_warp=True forces the XLA-gather warp + composite (non-Pallas) scan
     # everywhere — the exact reference path, used as the all-approximations-OFF
     # arm of the qualification A/B runs (STATUS.md)

@@ -29,20 +29,29 @@ class SpatioTemporalBlock(nn.Module):
 
     ``tmix`` selects the temporal-mix lowering (identical math, identical
     params — checkpoints are interchangeable):
-      * ``"bandmm"`` (default since round 4): the tridiagonal shift structure
+      * ``"shiftflat"`` (default since round 5): the temporal mix computed
+        on the FOLDED (B*T, H, W, .) layout — one C->3F matmul + major-axis
+        shifts with per-frame edge masks; every reshape in the block then
+        merges/splits LEADING dims only (bitcasts), so XLA materializes no
+        transposed 5-D layouts at all. Measured on v5e (full joint step,
+        tools/probe_tmix.py, exp_results/round5/probe_tmix_shiftflat.log):
+        0.941x / 0.903x / 0.875x step time vs 'bandmm' at b10/b20/b40 —
+        it kills the fold-reshape layout copies (~2.4 ms/step at b40,
+        STATUS round-4 profile) and brings b40 per-slice within 3% of b20.
+        Qualified 150 epochs x 3 seeds (exp_results/qualify_shiftflat/).
+      * ``"bandmm"`` (default in round 4): the tridiagonal shift structure
         embedded in small (T_out x T_in) banded matrices contracted on the
-        MXU — no concats, no per-tap shifts. Measured on v5e (full joint
-        step, tools/probe_tmix.py): -11% step time at b10, -10% at b20,
-        -15% at b40 vs 'shift' — it removes the data-formatting copies XLA
-        materializes when it stops fusing the shift concats + block reshapes
-        at large batch (STATUS round-4 b40 analysis).
+        MXU — no concats, no per-tap shifts. Measured: -11% step time at
+        b10, -10% at b20, -15% at b40 vs 'shift' (STATUS round-4 b40
+        analysis) — but its 5-D einsum still forces layout copies around
+        the block reshapes that 'shiftflat' avoids.
       * ``"shift"``: one C->3F matmul + two edge-replicated shift-concat
         adds along T (the round-3 formulation; kept as the structural
         reference for the parity test).
     """
     features: int
     spatial_stride: int = 1
-    tmix: str = "bandmm"
+    tmix: str = "shiftflat"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -134,7 +143,7 @@ class ResNet3DStrainHead(nn.Module):
     features: int = 16
     n_blocks: int = 3
     out_frames: Optional[int] = None   # None -> keep input T
-    tmix: str = "bandmm"
+    tmix: str = "shiftflat"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -159,7 +168,7 @@ class NetDisplacement2StrainMat(nn.Module):
     """model(disp (B,2,H,W,T)) -> {'strainmat': (B, n_sectors, T)}."""
     n_sectors: int = 126
     features: int = 16
-    tmix: str = "bandmm"
+    tmix: str = "shiftflat"
 
     @nn.compact
     def __call__(self, disp: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:

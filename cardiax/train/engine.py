@@ -684,9 +684,10 @@ class TrainerEngine:
             warnings.warn("epoch_fuse: disabled while others.profile_dir is "
                           "set (the profiler window is step-granular)",
                           RuntimeWarning)
-        # introspection hook for tests / tools: which paths actually engaged
+        # introspection hooks for tests / tools: which paths actually engaged
         self.last_fuse_engaged = (fuse_train_fn is not None,
                                   fuse_val_fn is not None)
+        self.last_fuse_trainval = fuse_trainval_fn is not None
 
         for epoch in range(start_epoch, epochs):
             t_epoch = time.perf_counter()

@@ -144,6 +144,33 @@ def test_auto_engages_at_any_epoch_length():
     assert tr.last_fuse_engaged == (True, True)
 
 
+def test_combined_trainval_dispatch_engages_and_matches():
+    """When train AND val fuse, each valid_period epoch runs train+val as ONE
+    jitted program (engine._build_epoch_trainval_fn) — the round-5 host-wall
+    win (-16 ms/epoch, exp_results/host_profile.json). It must (a) actually
+    engage (a silent fall-back to separate dispatches would still pass the
+    numerics tests), and (b) match the step loop under a mixed
+    valid_period=2 schedule, where combined-dispatch epochs interleave with
+    train-only-program epochs."""
+    *_, tr = _run("auto", return_trainer=True)
+    assert tr.last_fuse_engaged == (True, True)
+    assert tr.last_fuse_trainval is True
+
+    def run_vp2(epoch_fuse):
+        data = _slice_data()
+        datasets = _datasets(data)
+        cfg = _cfg(epoch_fuse, epochs=4)
+        cfg["others"] = {"valid_period": 2}
+        networks = {n: build_model(mc) for n, mc in cfg["networks"].items()}
+        trainer = build_trainer(cfg["training"], None, cfg)
+        trained, _ = trainer.train(models=networks, datasets=datasets,
+                                   trainer_config=cfg["training"],
+                                   full_config=cfg)
+        return trained, trained["train_loss_dict"]
+
+    _assert_same(run_vp2(True), run_vp2(False), n_steps=8)
+
+
 def test_fused_rolled_regime_matches_loop():
     """Epochs past `epoch_fuse_max_steps` run the ROLLED scan (the regime
     probe_fuse_scale measured fastest at 36 steps); math must match the

@@ -34,7 +34,11 @@ def main(argv=None):
     ap.add_argument("--out", default=str(REPO / "exp_results" / "qualify_tmix"))
     ap.add_argument("--h", type=int, default=128)
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--modes", nargs=2, default=["shift", "bandmm"],
+                    help="the (baseline, candidate) tmix pair to A/B "
+                         "(round 4: shift bandmm; round 5: bandmm shiftflat)")
     args = ap.parse_args(argv)
+    base_mode, cand_mode = args.modes
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -49,7 +53,7 @@ def main(argv=None):
 
     summary = {"epochs": args.epochs, "runs": {}}
     for seed in args.seeds:
-        for tmix in ("shift", "bandmm"):
+        for tmix in (base_mode, cand_mode):
             tag = f"{tmix}_seed{seed}"
             run_json = out_dir / f"{tag}.json"
             if run_json.exists():
@@ -71,21 +75,22 @@ def main(argv=None):
             summary["runs"][tag] = res
             print(f"[{tag}] done in {res['wall_seconds']}s", flush=True)
 
-    lines = ["# tmix default-flip qualification (shift vs bandmm)",
+    modes = (base_mode, cand_mode)
+    lines = [f"# tmix default-flip qualification ({base_mode} vs {cand_mode})",
              f"epochs={args.epochs}, grid {args.h}^2, T={args.frames}, "
              "train 48 / val 16 / test 32 slices", "",
              "| metric | " + " | ".join(
-                 f"{m} s{s}" for s in args.seeds for m in ("shift", "bandmm"))
+                 f"{m} s{s}" for s in args.seeds for m in modes)
              + " | |delta| per seed |", "|" + "---|" * (2 * len(args.seeds) + 2)]
     for key in METRIC_KEYS:
         vals = {t: r.get(key) for t, r in summary["runs"].items()}
         if any(v is None for v in vals.values()):
             continue
-        deltas = [abs(vals[f"shift_seed{s}"] - vals[f"bandmm_seed{s}"])
+        deltas = [abs(vals[f"{base_mode}_seed{s}"] - vals[f"{cand_mode}_seed{s}"])
                   for s in args.seeds]
         lines.append("| " + key + " | " + " | ".join(
             f"{vals[f'{m}_seed{s}']:.4g}"
-            for s in args.seeds for m in ("shift", "bandmm"))
+            for s in args.seeds for m in modes)
             + " | " + ", ".join(f"{d:.3g}" for d in deltas) + " |")
     (out_dir / "summary.json").write_text(json.dumps(summary, indent=1))
     (out_dir / "summary.md").write_text("\n".join(lines) + "\n")
