@@ -194,6 +194,7 @@ class TrainerEngine:
         self.metric_prefix = self.trainer_config.get("metric_prefix", "")
         self._train_step = None
         self._eval_step = None
+        self._snap_fn = None   # jitted whole-tree params copy (pipelining)
         self.params: Optional[Dict[str, Any]] = None
         self.opt_states: Optional[Dict[str, Any]] = None
         self._txs: Optional[Dict[str, optax.GradientTransformation]] = None
@@ -689,14 +690,117 @@ class TrainerEngine:
                                   fuse_val_fn is not None)
         self.last_fuse_trainval = fuse_trainval_fn is not None
 
-        for epoch in range(start_epoch, epochs):
-            t_epoch = time.perf_counter()
-            ht = {} if host_profile else None
-            # epoch-indexed shuffle: a resumed run replays the uninterrupted
-            # run's epoch-k..N data stream exactly (loader.epoch_permutation)
-            if hasattr(train_loader, "set_epoch"):
-                train_loader.set_epoch(epoch)
-            # ---- train ----
+        # ---- epoch pipelining (training.epoch_pipeline, default 'auto'):
+        # dispatch epoch k+1 BEFORE syncing epoch k's metrics. The fused
+        # dispatch returns device futures; the bulk metric sync then waits
+        # for (device compute + tunnel transfer) while the chip sits idle
+        # during the transfer. Holding one epoch in flight hides the
+        # transfer + host bookkeeping behind the next epoch's compute
+        # (host_profile round 5: ~26 ms of the 110 ms epoch wall is
+        # post-compute sync residue). Numerics are BIT-IDENTICAL to the
+        # unpipelined fused loop: the same jitted programs run on the same
+        # inputs in the same order — only the host-side read of each
+        # epoch's metrics is deferred by one epoch, plus one device-side
+        # jnp.copy of the params per epoch (the best-params snapshot must
+        # be taken before the next dispatch donates the buffers). Pinned by
+        # tests/test_epoch_pipeline.py. Engagement ('auto') requires the
+        # fused path, no checkpointing (ckpt needs epoch-k opt state on
+        # host), no periodic visualization (it reads live params), and —
+        # when a val loader exists — the combined train+val dispatch (a
+        # separate val program would read the NEXT epoch's params).
+        # Early-stop decisions lag one epoch behind dispatch, so a stop at
+        # epoch k discards one speculative in-flight epoch; the returned
+        # best-params/metrics are unaffected.
+        pipe_raw = cfg.get("epoch_pipeline", "auto")
+        pipe_mode = "false" if pipe_raw is None else str(pipe_raw).lower()
+        if pipe_mode in ("false", "0", "off", "none", "no"):
+            pipe_want, pipe_force = False, False
+        elif pipe_mode in ("true", "1", "yes", "on"):
+            pipe_want, pipe_force = True, True
+        elif pipe_mode == "auto":
+            pipe_want, pipe_force = True, False
+        else:
+            raise ValueError(f"training.epoch_pipeline={pipe_raw!r} is not "
+                             f"a recognized value; use true/false/auto")
+        pipeline_on = (pipe_want and fuse_train_fn is not None
+                       and ckpt is None and not vis_every
+                       and (val_loader is None
+                            or fuse_trainval_fn is not None))
+        if pipe_force and not pipeline_on:
+            import warnings
+            warnings.warn(
+                "epoch_pipeline: requested but cannot engage (needs the "
+                "fused-epoch path, save_checkpoint off, no periodic "
+                "visualization, and the combined train+val dispatch when "
+                "validating); using the synchronous loop", RuntimeWarning)
+        self.last_pipeline_engaged = pipeline_on
+
+        pipe_q: List[Dict[str, Any]] = []
+        epoch_iter: List[Optional[int]] = list(range(start_epoch, epochs))
+        if pipeline_on:
+            epoch_iter.append(None)   # flush slot: process the last in-flight
+        for epoch in epoch_iter:
+            rec: Optional[Dict[str, Any]] = None
+            if epoch is None:
+                # pipeline flush — nothing to dispatch, process the tail
+                if not pipe_q:
+                    break
+                rec = pipe_q.pop(0)
+            else:
+                t_epoch = time.perf_counter()
+                ht = {} if host_profile else None
+                # epoch-indexed shuffle: a resumed run replays the
+                # uninterrupted run's epoch-k..N data stream exactly
+                # (loader.epoch_permutation)
+                if hasattr(train_loader, "set_epoch"):
+                    train_loader.set_epoch(epoch)
+                run_val_now = val_loader is not None and (
+                    epoch % valid_period == 0 or epoch == epochs - 1)
+                if fuse_train_fn is not None:
+                    t0 = time.perf_counter()
+                    idx_mat, mask_mat = train_loader.epoch_plan()
+                    if ht is not None:
+                        ht["plan"] = time.perf_counter() - t0
+                        t0 = time.perf_counter()
+                    if fuse_trainval_fn is not None and run_val_now:
+                        # train epoch + val epoch: ONE dispatch, ONE bulk sync
+                        vidx_mat, vmask_mat = val_loader.epoch_plan()
+                        (self.params, self.opt_states, stacked,
+                         vstacked) = fuse_trainval_fn(
+                            self.params, self.opt_states, train_loader._data,
+                            idx_mat, mask_mat, val_loader._data,
+                            vidx_mat, vmask_mat)
+                    else:
+                        # whole train epoch in ONE dispatch; stacked metrics
+                        self.params, self.opt_states, stacked = fuse_train_fn(
+                            self.params, self.opt_states, train_loader._data,
+                            idx_mat, mask_mat)
+                        vstacked = None
+                    if ht is not None:
+                        ht["dispatch"] = time.perf_counter() - t0
+                    rec = {"epoch": epoch, "t_epoch": t_epoch, "ht": ht,
+                           "run_val_now": run_val_now,
+                           "n_batches": int(idx_mat.shape[0]),
+                           "stacked": stacked, "vstacked": vstacked}
+                    global_step += rec["n_batches"]
+                    if pipeline_on:
+                        # snapshot BEFORE the next dispatch donates these
+                        # buffers; if this epoch turns out to be the best,
+                        # the snapshot IS the best-params copy. ONE jitted
+                        # program (not per-leaf jnp.copy): each dispatch is
+                        # a host round trip on a tunneled TPU, and a params
+                        # tree has hundreds of leaves.
+                        if self._snap_fn is None:
+                            self._snap_fn = jax.jit(
+                                lambda p: jax.tree_util.tree_map(
+                                    jnp.copy, p))
+                        rec["snap"] = self._snap_fn(self.params)
+                        pipe_q.append(rec)
+                        if len(pipe_q) < 2:
+                            continue       # fill the pipeline (one in flight)
+                        rec = pipe_q.pop(0)
+            # ---- process one epoch's results (rec: fused epoch; else the
+            # per-step loop below) ----
             accum: Dict[str, float] = {}
             n_batches = 0
             # Per-step metric values stay ON DEVICE until the epoch ends:
@@ -705,49 +809,31 @@ class TrainerEngine:
             # serializes the loop against the device and forfeits JAX's async
             # dispatch. Deferring costs only a list of tiny DeviceArrays.
             step_values: List[Dict[str, Any]] = []
-            run_val_now = val_loader is not None and (
-                epoch % valid_period == 0 or epoch == epochs - 1)
             pending_vsynced = None   # val metrics from the combined dispatch
-            if fuse_train_fn is not None:
+            if rec is not None:
+                proc_epoch = int(rec["epoch"])
+                t_epoch = rec["t_epoch"]
+                ht = rec["ht"]
+                run_val_now = rec["run_val_now"]
+                n_batches = rec["n_batches"]
                 t0 = time.perf_counter()
-                idx_mat, mask_mat = train_loader.epoch_plan()
-                if ht is not None:
-                    ht["plan"] = time.perf_counter() - t0
-                    t0 = time.perf_counter()
-                if fuse_trainval_fn is not None and run_val_now:
-                    # train epoch + val epoch: ONE dispatch, ONE bulk sync
-                    vidx_mat, vmask_mat = val_loader.epoch_plan()
-                    (self.params, self.opt_states, stacked,
-                     vstacked) = fuse_trainval_fn(
-                        self.params, self.opt_states, train_loader._data,
-                        idx_mat, mask_mat, val_loader._data,
-                        vidx_mat, vmask_mat)
-                    if ht is not None:
-                        ht["dispatch"] = time.perf_counter() - t0
-                        t0 = time.perf_counter()
+                if rec["vstacked"] is not None:
                     synced, pending_vsynced = jax.device_get(
-                        (stacked, vstacked))
+                        (rec["stacked"], rec["vstacked"]))
                 else:
-                    # whole train epoch in ONE dispatch; metrics come stacked
-                    self.params, self.opt_states, stacked = fuse_train_fn(
-                        self.params, self.opt_states, train_loader._data,
-                        idx_mat, mask_mat)
-                    if ht is not None:
-                        ht["dispatch"] = time.perf_counter() - t0
-                        t0 = time.perf_counter()
-                    synced = jax.device_get(stacked)
+                    synced = jax.device_get(rec["stacked"])
                 if ht is not None:
                     ht["sync"] = time.perf_counter() - t0
-                n_batches = int(idx_mat.shape[0])
-                global_step += n_batches
                 step_values = [{k: v[i] for k, v in synced.items()}
                                for i in range(n_batches)]
                 if spot_every and step_values and not np.isfinite(
                         float(step_values[-1].get("total_loss", 0.0))):
                     raise FloatingPointError(
-                        f"non-finite total_loss at epoch {epoch} "
+                        f"non-finite total_loss at epoch {proc_epoch} "
                         f"(fused-epoch check)")
-            for batch in (() if fuse_train_fn is not None else train_loader):
+            else:
+                proc_epoch = epoch
+            for batch in (() if rec is not None else train_loader):
                 if profile_dir and global_step == 1 and not profiling:
                     # drain the compile step BEFORE opening the trace window —
                     # with deferred metric sync nothing else blocks here, and
@@ -769,7 +855,7 @@ class TrainerEngine:
                     fv = float(values["total_loss"])  # bounded-latency sync
                     if not np.isfinite(fv):
                         raise FloatingPointError(
-                            f"non-finite total_loss {fv} at epoch {epoch} "
+                            f"non-finite total_loss {fv} at epoch {proc_epoch} "
                             f"step {global_step} (spot check)")
                     if "max_abs_displacement" in values:
                         self._check_displacement_band(
@@ -837,13 +923,13 @@ class TrainerEngine:
                 epoch_metrics[f"{prefix}time/epoch_wall_s"] = (
                     time.perf_counter() - t_epoch)
             t_track = time.perf_counter()
-            tracker.log(epoch_metrics, step=epoch)
+            tracker.log(epoch_metrics, step=proc_epoch)
             history.append(dict(epoch_metrics))
             if ht is not None:
                 ht["track"] = time.perf_counter() - t_track
 
             # ---- periodic visualization (fraction-of-epochs interval) ----
-            if vis_every and epoch % vis_every == 0 and val_loader is not None:
+            if vis_every and proc_epoch % vis_every == 0 and val_loader is not None:
                 try:
                     vb = next(iter(val_loader))
                     va = shard_batch(vb, self.mesh)
@@ -854,7 +940,7 @@ class TrainerEngine:
                         "saving_dir", ".")) / "figures"
                     fig_dir.mkdir(parents=True, exist_ok=True)
                     self.scheme.visualize(vb, vpred_np,
-                                          fig_dir / f"epoch_{epoch:04d}.png")
+                                          fig_dir / f"epoch_{proc_epoch:04d}.png")
                 except Exception as e:
                     # visualization must never kill training, but a broken
                     # figure pipeline shouldn't be silent either: warn once
@@ -881,8 +967,13 @@ class TrainerEngine:
             if monitor is not None:     # None: no early-stop signal (skipped val)
                 if monitor < best_val:
                     best_val = monitor
-                    best_params = jax.tree_util.tree_map(jnp.copy, self.params)
-                    best_epoch = epoch
+                    # pipelined epochs already hold a pre-donation
+                    # snapshot of this epoch's params — reuse it
+                    best_params = (rec["snap"] if rec is not None
+                                   and "snap" in rec else
+                                   jax.tree_util.tree_map(jnp.copy,
+                                                          self.params))
+                    best_epoch = proc_epoch
                     best_epoch_metrics = dict(epoch_metrics)
                     epochs_without_improvement = 0
                 else:
@@ -895,9 +986,9 @@ class TrainerEngine:
             # checkpoint AFTER the early-stop update, so the saved counters
             # reflect this epoch's decision and resume is state-exact
             if ckpt is not None:
-                saved = ckpt.save(epoch, self.params, self.opt_states,
+                saved = ckpt.save(proc_epoch, self.params, self.opt_states,
                                   best_params=best_params,
-                                  extra={"epoch": epoch, "best_val": best_val,
+                                  extra={"epoch": proc_epoch, "best_val": best_val,
                                          "best_epoch": best_epoch,
                                          "epochs_without_improvement":
                                              epochs_without_improvement})
@@ -907,7 +998,13 @@ class TrainerEngine:
                         _json.dumps(best_epoch_metrics))
             if ht is not None:
                 ht["ckpt"] = time.perf_counter() - t_ckpt
+                # `total` spans dispatch->processed; under epoch pipelining
+                # consecutive totals OVERLAP (epoch k+1 dispatches before k
+                # is processed), so the honest steady-state figure is the
+                # CADENCE — the diff of consecutive `t_done` stamps
+                # (tools/profile_epoch_host.py reports both).
                 ht["total"] = time.perf_counter() - t_epoch
+                ht["t_done"] = time.perf_counter()
                 host_rows.append(ht)
             if stop:
                 break

@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--no-combined-val", action="store_true",
                     help="measure with the separate val dispatch (A/B arm)")
+    ap.add_argument("--pipeline", default="auto",
+                    choices=["auto", "true", "false"],
+                    help="training.epoch_pipeline arm (dispatch epoch k+1 "
+                         "before syncing epoch k)")
     args = ap.parse_args(argv)
 
     out_path = Path(args.out)
@@ -55,6 +59,7 @@ def main(argv=None):
                        epochs=args.epochs)
     tr = cfg["training"]
     tr.update({"device_data_cache": "true", "epoch_fuse": "true",
+               "epoch_pipeline": args.pipeline,
                "host_profile": True, "log_epoch_walltime": True,
                "test": False})
 
@@ -80,15 +85,30 @@ def main(argv=None):
     assert rows, "no host-profile rows collected — fused path not engaged?"
     med = {p: statistics.median(r.get(p, 0.0) for r in rows) for p in PHASES}
     accounted = sum(v for k, v in med.items() if k != "total")
-    result = {"arm": ("separate_val" if args.no_combined_val else "combined"),
+    # steady-state epoch CADENCE: diff of consecutive process-completion
+    # stamps. Under epoch pipelining the per-row `total` spans two
+    # overlapped epochs; the cadence is the honest wall-per-epoch figure
+    # (identical to `total` in the synchronous loop).
+    dones = [r["t_done"] for r in trainer.host_profile_rows if "t_done" in r]
+    diffs = [b - a for a, b in zip(dones, dones[1:])][args.warm_epochs:]
+    cadence = statistics.median(diffs) if diffs else None
+    arm = ("separate_val" if args.no_combined_val else "combined")
+    if trainer.last_pipeline_engaged:
+        arm += "+pipeline"
+    result = {"arm": arm,
+              "pipeline_engaged": bool(trainer.last_pipeline_engaged),
               "n_epochs": len(rows),
               "median_s": {k: round(v, 5) for k, v in med.items()},
+              "cadence_s": round(cadence, 5) if cadence is not None else None,
               "accounted_s": round(accounted, 5),
               "unaccounted_s": round(med["total"] - accounted, 5)}
     print(f"fused-epoch host attribution (median over {len(rows)} epochs):")
     for p in PHASES:
         print(f"  {p:9s} {med[p] * 1e3:8.2f} ms")
     print(f"  {'(other)':9s} {(med['total'] - accounted) * 1e3:8.2f} ms")
+    if cadence is not None:
+        print(f"  {'cadence':9s} {cadence * 1e3:8.2f} ms/epoch "
+              f"(steady-state wall per epoch)")
     existing = json.loads(out_path.read_text()) if out_path.exists() else {}
     existing[result["arm"]] = result
     out_path.write_text(json.dumps(existing, indent=1))
