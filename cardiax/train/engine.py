@@ -705,9 +705,10 @@ class TrainerEngine:
         # be taken before the next dispatch donates the buffers). Pinned by
         # tests/test_epoch_pipeline.py. Engagement ('auto') requires the
         # fused path, no checkpointing (ckpt needs epoch-k opt state on
-        # host), no periodic visualization (it reads live params), and —
-        # when a val loader exists — the combined train+val dispatch (a
-        # separate val program would read the NEXT epoch's params).
+        # host) and — when a val loader exists — the combined train+val
+        # dispatch (a separate val program would read the NEXT epoch's
+        # params); periodic visualization renders from the processed
+        # epoch's snapshot, so it composes with the pipeline.
         # Early-stop decisions lag one epoch behind dispatch, so a stop at
         # epoch k discards one speculative in-flight epoch; the returned
         # best-params/metrics are unaffected.
@@ -723,19 +724,29 @@ class TrainerEngine:
             raise ValueError(f"training.epoch_pipeline={pipe_raw!r} is not "
                              f"a recognized value; use true/false/auto")
         pipeline_on = (pipe_want and fuse_train_fn is not None
-                       and ckpt is None and not vis_every
+                       and ckpt is None
                        and (val_loader is None
                             or fuse_trainval_fn is not None))
         if pipe_force and not pipeline_on:
             import warnings
             warnings.warn(
                 "epoch_pipeline: requested but cannot engage (needs the "
-                "fused-epoch path, save_checkpoint off, no periodic "
-                "visualization, and the combined train+val dispatch when "
-                "validating); using the synchronous loop", RuntimeWarning)
+                "fused-epoch path, save_checkpoint off, and the combined "
+                "train+val dispatch when validating); using the "
+                "synchronous loop", RuntimeWarning)
         self.last_pipeline_engaged = pipeline_on
+        # selection transparency (docs/kernels.md section 6): one line per
+        # run stating which epoch-loop mode actually engaged
+        if fuse_train_fn is not None:
+            mode_bits = [f"fused(unroll<={fuse_cap})"]
+            if fuse_trainval_fn is not None:
+                mode_bits.append("combined train+val")
+            if pipeline_on:
+                mode_bits.append("pipelined")
+            print(f"epoch loop: {' + '.join(mode_bits)}")
 
         pipe_q: List[Dict[str, Any]] = []
+        last_wall_done_t: Optional[float] = None   # for cadence-based log_wall
         epoch_iter: List[Optional[int]] = list(range(start_epoch, epochs))
         if pipeline_on:
             epoch_iter.append(None)   # flush slot: process the last in-flight
@@ -920,8 +931,19 @@ class TrainerEngine:
                     ht["val"] = time.perf_counter() - t_val
 
             if log_wall:
-                epoch_metrics[f"{prefix}time/epoch_wall_s"] = (
-                    time.perf_counter() - t_epoch)
+                # Under epoch pipelining the dispatch->processed span of one
+                # epoch OVERLAPS the next epoch's compute, so it would read
+                # ~2 epochs; log the CADENCE (time since the previous epoch
+                # was processed) instead — the honest steady-state wall per
+                # epoch, and identical to the span in the synchronous loop.
+                now = time.perf_counter()
+                if pipeline_on and last_wall_done_t is not None:
+                    epoch_metrics[f"{prefix}time/epoch_wall_s"] = (
+                        now - last_wall_done_t)
+                else:
+                    epoch_metrics[f"{prefix}time/epoch_wall_s"] = (
+                        now - t_epoch)
+                last_wall_done_t = now
             t_track = time.perf_counter()
             tracker.log(epoch_metrics, step=proc_epoch)
             history.append(dict(epoch_metrics))
@@ -934,7 +956,12 @@ class TrainerEngine:
                     vb = next(iter(val_loader))
                     va = shard_batch(vb, self.mesh)
                     va = {k: v for k, v in va.items() if isinstance(v, jax.Array)}
-                    _, vpred = self._eval_step(self.params, va)
+                    # under epoch pipelining self.params is the NEXT epoch's
+                    # in-flight state; the processed epoch's snapshot is the
+                    # correct (and in fact more faithful) params to render
+                    vparams = (rec["snap"] if rec is not None
+                               and "snap" in rec else self.params)
+                    _, vpred = self._eval_step(vparams, va)
                     vpred_np = jax.tree_util.tree_map(np.asarray, vpred)
                     fig_dir = Path(self.full_config.get("saving", {}).get(
                         "saving_dir", ".")) / "figures"
