@@ -1088,12 +1088,15 @@ class TrainerEngine:
         loss_accum: Dict[str, float] = {}
         step_values: List[Dict[str, Any]] = []
         nb = 0
-        for batch in loader:
-            arrays = shard_batch(batch, self.mesh)
-            dev = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
-            values, pred = self._eval_step(self.params, dev)
-            nb += 1
-            step_values.append(values)  # deferred sync (same as train loop)
+
+        def _consume(batch, pred):
+            # Host-side download + per-sample unpack. Under eval_pipeline the
+            # NEXT batch's eval step is already dispatched when this runs, so
+            # the device computes batch k+1 while batch k's predictions cross
+            # the host<->device link (same overlap the training loop exploits
+            # via epoch_pipeline). Outputs are bit-identical to the
+            # synchronous loop: same programs, same inputs, same preds order —
+            # only the host read is deferred (tests/test_eval_pipeline.py).
             pred_np = jax.device_get(pred)
             mask = np.asarray(batch["sample_mask"])
             bsz = int(mask.shape[0])
@@ -1109,6 +1112,23 @@ class TrainerEngine:
                     if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == bsz:
                         sample[f"{k}_pred"] = v[i]
                 preds.append(sample)
+
+        pipeline = bool(cfg.get("eval_pipeline", True))
+        pending: Optional[Tuple[Dict[str, Any], Dict[str, Any]]] = None
+        for batch in loader:
+            arrays = shard_batch(batch, self.mesh)
+            dev = {k: v for k, v in arrays.items() if isinstance(v, jax.Array)}
+            values, pred = self._eval_step(self.params, dev)
+            nb += 1
+            step_values.append(values)  # deferred sync (same as train loop)
+            if pipeline:
+                if pending is not None:
+                    _consume(*pending)
+                pending = (batch, pred)
+            else:
+                _consume(batch, pred)
+        if pending is not None:
+            _consume(*pending)
 
         for values in jax.device_get(step_values):   # one bulk metric fetch
             for k, v in values.items():
